@@ -1,0 +1,312 @@
+"""Symmetric-cone toolkit: the conic IR and Jordan-algebra/NT-scaling ops.
+
+This replaces the reference's cone layer (src/parser/cone.jl:48-224, which
+maps cones onto JuMP/MOI sets consumed by the ECOS C solver) with a native
+representation consumed by our batched JAX interior-point method (ops/ipm.py).
+
+Supported base cones (reference cone.jl:48 `SupportedCone`):
+  ZERO    -> `nz` leading equality rows (slack identically 0, dual free)
+  NONPOS  -> lowered to the nonneg orthant by row negation at build time
+  L1/LINF -> lowered to linear rows + nonneg slacks (as MOI bridges do)
+  SOC     -> native second-order cone blocks
+  GEOM    -> lowered to SOC powers (parser/builder layer)
+  EXP     -> exponential cone (nonsymmetric; handled separately, see ipm.py)
+
+The flat slack/dual vector layout is [zero | nonneg | soc_1 | ... | soc_k].
+All ops are branch-free over a *static* `ConeSpec`, grouping SOC blocks of
+equal dimension so each group processes as one (num_blocks, dim) tensor —
+TPU-friendly (no per-cone Python loops at runtime).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeSpec:
+    """Static description of a product cone K = 0^nz x R+^nl x SOC(d1) x ...
+
+    Hashable/static so it can parameterize jitted functions.
+    """
+
+    nz: int = 0
+    nl: int = 0
+    socs: Tuple[int, ...] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "socs", tuple(int(d) for d in self.socs))
+        assert all(d >= 2 for d in self.socs), "SOC blocks need dim >= 2 (use nl for dim 1)"
+
+    @property
+    def m(self) -> int:
+        """Total number of rows."""
+        return self.nz + self.nl + sum(self.socs)
+
+    @property
+    def cone_dim(self) -> int:
+        """Rows excluding the zero cone (the part with actual slacks)."""
+        return self.nl + sum(self.socs)
+
+    @property
+    def degree(self) -> int:
+        """Barrier degree: nl + number of SOC blocks (reference: ECOS nu)."""
+        return self.nl + len(self.socs)
+
+    # ---- static index helpers (numpy, computed once per spec) ----
+
+    def soc_groups(self) -> Dict[int, np.ndarray]:
+        """Map soc dim -> array of start offsets (into the full m-vector)."""
+        groups: Dict[int, list] = {}
+        off = self.nz + self.nl
+        for d in self.socs:
+            groups.setdefault(d, []).append(off)
+            off += d
+        return {d: np.asarray(starts, dtype=np.int32) for d, starts in groups.items()}
+
+    def soc_indices(self) -> Dict[int, np.ndarray]:
+        """Map soc dim -> (num_blocks, dim) absolute row indices."""
+        return {
+            d: starts[:, None] + np.arange(d)[None, :]
+            for d, starts in self.soc_groups().items()
+        }
+
+    @property
+    def lin_slice(self) -> slice:
+        return slice(self.nz, self.nz + self.nl)
+
+    @property
+    def zero_slice(self) -> slice:
+        return slice(0, self.nz)
+
+    def cone_mask(self, dtype=float) -> np.ndarray:
+        """(m,) mask: 1 on nonneg/SOC rows, 0 on zero-cone rows."""
+        mask = np.ones(self.m, dtype=dtype)
+        mask[: self.nz] = 0
+        return mask
+
+
+# ------------------------------ basic elements ------------------------------
+
+
+def identity_elem(spec: ConeSpec, dtype=None) -> jnp.ndarray:
+    """Jordan identity e: 0 on zero rows, 1 on nonneg, (1,0,..,0) per SOC."""
+    dtype = dtype or jnp.zeros(0).dtype
+    e = np.zeros(spec.m)
+    e[spec.lin_slice] = 1.0
+    off = spec.nz + spec.nl
+    for d in spec.socs:
+        e[off] = 1.0
+        off += d
+    return jnp.asarray(e, dtype=dtype)
+
+
+def cone_product(spec: ConeSpec, u, v) -> jnp.ndarray:
+    """Jordan product u o v (0 on zero rows; elementwise on nonneg;
+    arrow product on SOC blocks)."""
+    out = jnp.zeros_like(u)
+    sl = spec.lin_slice
+    out = out.at[sl].set(u[sl] * v[sl])
+    for d, idx in spec.soc_indices().items():
+        ub = u[idx]  # (k, d)
+        vb = v[idx]
+        head = jnp.sum(ub * vb, axis=1, keepdims=True)
+        tail = ub[:, :1] * vb[:, 1:] + vb[:, :1] * ub[:, 1:]
+        out = out.at[idx].set(jnp.concatenate([head, tail], axis=1))
+    return out
+
+
+def cone_div(spec: ConeSpec, lam, v) -> jnp.ndarray:
+    """Solve lam o x = v for x (inverse arrow operator per block)."""
+    out = jnp.zeros_like(v)
+    sl = spec.lin_slice
+    out = out.at[sl].set(v[sl] / lam[sl])
+    for d, idx in spec.soc_indices().items():
+        lb = lam[idx]  # (k, d)
+        vb = v[idx]
+        l0 = lb[:, :1]
+        l1 = lb[:, 1:]
+        v0 = vb[:, :1]
+        v1 = vb[:, 1:]
+        # arrow(lam) = [[l0, l1^T], [l1, l0 I]]; closed-form inverse uses the
+        # Jordan determinant det = l0^2 - ||l1||^2, then back-substitution.
+        det = l0**2 - jnp.sum(l1**2, axis=1, keepdims=True)
+        x0 = (l0 * v0 - jnp.sum(l1 * v1, axis=1, keepdims=True)) / det
+        x1 = (v1 - x0 * l1) / l0
+        out = out.at[idx].set(jnp.concatenate([x0, x1], axis=1))
+    return out
+
+
+def max_step(spec: ConeSpec, u, du, big: float = 1e12) -> jnp.ndarray:
+    """Largest alpha >= 0 with u + alpha*du in K (ignoring zero rows).
+
+    `u` must be strictly interior. Returns a scalar (capped at `big`).
+    """
+    alphas = [jnp.asarray(big, u.dtype)]
+    sl = spec.lin_slice
+    if spec.nl > 0:
+        ul = u[sl]
+        dl = du[sl]
+        neg = dl < 0
+        cand = jnp.where(neg, -ul / jnp.where(neg, dl, -1.0), big)
+        alphas.append(jnp.min(cand))
+    for d, idx in spec.soc_indices().items():
+        ub = u[idx]
+        db = du[idx]
+        u0, u1 = ub[:, 0], ub[:, 1:]
+        d0, d1 = db[:, 0], db[:, 1:]
+        a = d0**2 - jnp.sum(d1**2, axis=1)
+        b = 2.0 * (u0 * d0 - jnp.sum(u1 * d1, axis=1))
+        c = u0**2 - jnp.sum(u1**2, axis=1)  # > 0 strictly interior
+        disc = b**2 - 4.0 * a * c
+        sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # numerically stable quadratic roots
+        q = -0.5 * (b + jnp.sign(b + (b == 0)) * sqrt_disc)
+        r1 = jnp.where(a != 0, q / jnp.where(a != 0, a, 1.0), big)
+        r2 = jnp.where(q != 0, c / jnp.where(q != 0, q, 1.0), big)
+        # candidate boundary crossings: smallest positive root of the quadratic
+        def pos_or_big(r):
+            return jnp.where((r > 0) & (disc >= 0), r, big)
+
+        root = jnp.minimum(pos_or_big(r1), pos_or_big(r2))
+        # head hits zero (ray exits through the apex side)
+        head = jnp.where(d0 < 0, -u0 / jnp.where(d0 < 0, d0, -1.0), big)
+        # the boundary is crossed at the earlier of the two events
+        alpha_b = jnp.minimum(root, head)
+        alphas.append(jnp.min(alpha_b))
+    return jnp.minimum(jnp.min(jnp.stack([jnp.atleast_1d(a).min() for a in alphas])), big)
+
+
+# ------------------------------ NT scaling ---------------------------------
+
+
+class NTScaling(NamedTuple):
+    """Nesterov-Todd scaling point for K = R+^nl x SOC products.
+
+    W is symmetric, W z = W^{-1} s = lambda. Stored factored:
+      w_l:   (nl,) with W_lin = diag(w_l)
+      socs:  per dim-group tuples (eta (k,1), wbar (k,d)) with
+             W_soc = eta * [[w0, w1^T], [w1, I + w1 w1^T/(1+w0)]]
+    """
+
+    w_l: jnp.ndarray
+    socs: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
+    soc_dims: Tuple[int, ...]  # static group dims, parallel to socs
+
+
+def nt_scaling(spec: ConeSpec, s, z) -> NTScaling:
+    """Compute the NT scaling from strictly interior s, z."""
+    sl = spec.lin_slice
+    w_l = jnp.sqrt(s[sl] / z[sl]) if spec.nl > 0 else jnp.zeros(0, s.dtype)
+    socs = []
+    dims = []
+    for d, idx in spec.soc_indices().items():
+        sb = s[idx]  # (k, d)
+        zb = z[idx]
+        J = jnp.concatenate([jnp.ones(1, s.dtype), -jnp.ones(d - 1, s.dtype)])
+        res_s = jnp.sqrt(jnp.sum(sb * sb * J, axis=1, keepdims=True))  # sqrt(s'Js)
+        res_z = jnp.sqrt(jnp.sum(zb * zb * J, axis=1, keepdims=True))
+        sbar = sb / res_s
+        zbar = zb / res_z
+        gamma = jnp.sqrt((1.0 + jnp.sum(sbar * zbar, axis=1, keepdims=True)) / 2.0)
+        wbar = (sbar + zbar * J) / (2.0 * gamma)  # (sbar + J zbar)/(2 gamma)
+        eta = jnp.sqrt(res_s / res_z)
+        socs.append((eta, wbar))
+        dims.append(d)
+    return NTScaling(w_l, tuple(socs), tuple(dims))
+
+
+def _soc_apply(eta, wbar, v, inverse: bool):
+    """Apply eta*Wbar (or its inverse) to blocks v (k, d)."""
+    w0 = wbar[:, :1]
+    w1 = -wbar[:, 1:] if inverse else wbar[:, 1:]
+    v0 = v[:, :1]
+    v1 = v[:, 1:]
+    t = jnp.sum(w1 * v1, axis=1, keepdims=True)
+    out0 = w0 * v0 + t
+    out1 = v1 + (v0 + t / (1.0 + w0)) * w1
+    out = jnp.concatenate([out0, out1], axis=1)
+    return out / eta if inverse else out * eta
+
+
+def scale(spec: ConeSpec, W: NTScaling, v, inverse: bool = False) -> jnp.ndarray:
+    """Apply W (or W^{-1}) to v. Zero rows pass through unchanged."""
+    out = v
+    sl = spec.lin_slice
+    if spec.nl > 0:
+        out = out.at[sl].set(v[sl] / W.w_l if inverse else v[sl] * W.w_l)
+    groups = spec.soc_indices()
+    for (eta, wbar), d in zip(W.socs, W.soc_dims):
+        idx = groups[d]
+        out = out.at[idx].set(_soc_apply(eta, wbar, v[idx], inverse))
+    return out
+
+
+def w2_dense(spec: ConeSpec, W: NTScaling, dtype=None) -> jnp.ndarray:
+    """Dense (m, m) block-diagonal W^2 (zero block on zero-cone rows).
+
+    Used to assemble the KKT matrix for the direct factorization. W^2 for an
+    SOC block is eta^2 (2 wbar wbar^T - J).
+    """
+    dtype = dtype or W.w_l.dtype
+    out = jnp.zeros((spec.m, spec.m), dtype)
+    sl = spec.lin_slice
+    if spec.nl > 0:
+        lin_idx = np.arange(spec.nz, spec.nz + spec.nl)
+        out = out.at[lin_idx, lin_idx].set(W.w_l**2)
+    groups = spec.soc_indices()
+    for (eta, wbar), d in zip(W.socs, W.soc_dims):
+        idx = groups[d]  # (k, d)
+        J = jnp.concatenate([jnp.ones(1, dtype), -jnp.ones(d - 1, dtype)])
+        blocks = (eta**2)[:, :, None] * (
+            2.0 * wbar[:, :, None] * wbar[:, None, :] - jnp.diag(J)[None, :, :]
+        )
+        rows = idx[:, :, None]
+        cols = idx[:, None, :]
+        out = out.at[rows, cols].set(blocks)
+    return out
+
+
+def lambda_vec(spec: ConeSpec, W: NTScaling, z) -> jnp.ndarray:
+    """lambda = W z (zero on zero-cone rows)."""
+    lam = scale(spec, W, z)
+    if spec.nz > 0:
+        lam = lam.at[spec.zero_slice].set(0.0)
+    return lam
+
+
+def project(spec: ConeSpec, v) -> jnp.ndarray:
+    """Euclidean projection onto K (0 on zero rows; used for initialization
+    checks and the SCvx nonlinear-cost cone violations)."""
+    out = v
+    if spec.nz > 0:
+        out = out.at[spec.zero_slice].set(0.0)
+    sl = spec.lin_slice
+    if spec.nl > 0:
+        out = out.at[sl].set(jnp.maximum(v[sl], 0.0))
+    for d, idx in spec.soc_indices().items():
+        vb = v[idx]
+        v0 = vb[:, 0]
+        v1 = vb[:, 1:]
+        nv1 = jnp.linalg.norm(v1, axis=1)
+        # three cases: inside (v0 >= nv1), polar (-v0 >= nv1) -> 0, else boundary
+        coef = jnp.clip((v0 + nv1) / 2.0, 0.0, None)
+        inside = v0 >= nv1
+        p0 = jnp.where(inside, v0, coef)
+        safe = jnp.where(nv1 > 0, nv1, 1.0)
+        p1 = jnp.where(
+            inside[:, None], v1, (coef / safe)[:, None] * v1
+        )
+        out = out.at[idx].set(jnp.concatenate([p0[:, None], p1], axis=1))
+    return out
+
+
+def violation(spec: ConeSpec, v) -> jnp.ndarray:
+    """Distance-like infeasibility measure: ||v - proj_K(v)||_inf, with zero
+    rows measured as |v| (they must equal 0)."""
+    pv = project(spec, v)
+    return jnp.max(jnp.abs(v - pv)) if spec.m > 0 else jnp.zeros((), v.dtype)
