@@ -1,0 +1,365 @@
+"""Batched primal-dual interior-point method for conic programs (the native
+replacement for the reference's ECOS backend).
+
+The reference hands every convex subproblem to the ECOS C interior-point
+solver through JuMP (reference src/parser/general.jl:20-22,
+src/parser/program.jl:63-75,419-424). Here the solver itself is a pure-JAX
+homogeneous self-dual embedding (HSDE) Mehrotra predictor-corrector method
+over symmetric cones (zero / nonneg / second-order), in the style of the
+conelp algorithm (CVXOPT) that ECOS implements:
+
+  * fully jittable: `lax.while_loop` outer iteration, branch-free cone
+    algebra over a static ConeSpec (ops/cones.py);
+  * batchable: `vmap` over (A, b, c) problem data gives thousands of
+    simultaneous solves per chip — the core of the "batched SCP solves"
+    north star;
+  * returns primal AND dual solutions plus infeasibility certificates
+    (the reference relies on ECOS DUAL_INFEASIBLE statuses during
+    auto-scaling, src/solvers/scp.jl:473, and on duals for the KKT
+    variational problem, src/parser/variation.jl:301-315);
+  * the KKT solve is pluggable: dense LU with static regularization +
+    iterative refinement by default; the structure-exploiting
+    block-tridiagonal trajectory factorization plugs in the same slot.
+
+Canonical problem form (single cone, equalities as zero-cone rows):
+
+    minimize    c'x
+    subject to  A x + s = b,   s in K = {0}^nz x R+^nl x SOC(d_1) x ...
+
+HSDE state (x, s, z, tau, kappa); optimality residuals
+
+    r_x = A'z + c*tau,   r_z = A x + s - b*tau,   r_tau = c'x + b'z + kappa.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from scptoolbox_tpu.ops import cones as cn
+from scptoolbox_tpu.ops.cones import ConeSpec
+
+
+class IPMStatus(enum.IntEnum):
+    """Device-representable solver status (parity with the MOI statuses the
+    reference consumes: OPTIMAL / ALMOST_OPTIMAL gate scp.jl:965-980 and
+    DUAL_INFEASIBLE scp.jl:473)."""
+
+    OPTIMAL = 0
+    PRIMAL_INFEASIBLE = 1
+    DUAL_INFEASIBLE = 2
+    MAX_ITER = 3  # ran out of iterations: solution returned, reduced accuracy
+
+
+class IPMSolution(NamedTuple):
+    x: jnp.ndarray          # primal solution (already divided by tau)
+    s: jnp.ndarray          # primal slacks
+    z: jnp.ndarray          # dual cone variables
+    status: jnp.ndarray     # int32 IPMStatus code
+    iters: jnp.ndarray      # iterations taken
+    obj: jnp.ndarray        # primal objective c'x
+    pres: jnp.ndarray       # relative primal residual
+    dres: jnp.ndarray       # relative dual residual
+    gap: jnp.ndarray        # complementarity gap s'z (tau-normalized)
+    tau: jnp.ndarray
+    kappa: jnp.ndarray
+
+
+class _State(NamedTuple):
+    x: jnp.ndarray
+    s: jnp.ndarray
+    z: jnp.ndarray
+    tau: jnp.ndarray
+    kappa: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray      # bool: stop iterating
+    status: jnp.ndarray    # int32
+    pres: jnp.ndarray
+    dres: jnp.ndarray
+    gap: jnp.ndarray
+
+
+def _dense_kkt_solve(A, w2, reg_eps, zero_mask, rhs):
+    """Solve the (n+m) quasi-definite KKT system
+
+        [ eps*I     A'          ] [dx]   [rhs_x]
+        [ A      -(W^2 + reg)   ] [dz] = [rhs_z]
+
+    with static regularization and two rounds of iterative refinement
+    against the *unregularized* operator. `rhs` is (n+m, k).
+    Zero-cone rows have W^2 = 0 (pure equality rows); `zero_mask` is 1 there.
+    """
+    n = A.shape[1]
+    m = A.shape[0]
+    dt = A.dtype
+    K_reg = jnp.zeros((n + m, n + m), dt)
+    K_reg = K_reg.at[:n, :n].set(jnp.eye(n, dtype=dt) * reg_eps)
+    K_reg = K_reg.at[:n, n:].set(A.T)
+    K_reg = K_reg.at[n:, :n].set(A)
+    diag_reg = reg_eps * jnp.ones(m, dt)
+    K_reg = K_reg.at[n:, n:].set(-(w2 + jnp.diag(diag_reg)))
+
+    lu, piv = jax.scipy.linalg.lu_factor(K_reg)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+    def k0_matvec(v):
+        vx, vz = v[:n], v[n:]
+        return jnp.concatenate([A.T @ vz, A @ vx - w2 @ vz], axis=0)
+
+    for _ in range(2):  # iterative refinement vs the unregularized K0
+        resid = rhs - jnp.concatenate(
+            [A.T @ sol[n:], A @ sol[:n] - w2 @ sol[n:]], axis=0
+        )
+        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), resid)
+    return sol
+
+
+def _lambda_min(spec: ConeSpec, v):
+    """Smallest cone 'eigenvalue' of v: min over nonneg entries and
+    (v0 - ||v1||) per SOC block. Used for interior shifts at init."""
+    vals = [jnp.asarray(jnp.inf, v.dtype)]
+    if spec.nl > 0:
+        vals.append(jnp.min(v[spec.lin_slice]))
+    for d, idx in spec.soc_indices().items():
+        vb = v[idx]
+        vals.append(jnp.min(vb[:, 0] - jnp.linalg.norm(vb[:, 1:], axis=1)))
+    return jnp.min(jnp.stack([jnp.atleast_1d(x).min() for x in vals]))
+
+
+def _shift_interior(spec: ConeSpec, v, margin=1.0):
+    """Shift v along the identity until strictly interior (conelp init)."""
+    lam_min = _lambda_min(spec, v)
+    e = cn.identity_elem(spec, dtype=v.dtype)
+    shift = jnp.where(lam_min > 1e-8, 0.0, margin - lam_min)
+    out = v + shift * e
+    if spec.nz > 0:
+        out = out.at[spec.zero_slice].set(v[spec.zero_slice])
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "max_iter", "kkt_solve")
+)
+def solve(
+    A: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    spec: ConeSpec,
+    *,
+    tol: float = 1e-8,
+    max_iter: int = 50,
+    kkt_solve: Optional[Callable] = None,
+) -> IPMSolution:
+    """Solve  min c'x  s.t.  Ax + s = b, s in K.  Jittable; vmap over
+    (A, b, c) for batched solves (spec must be shared across the batch)."""
+    dt = A.dtype
+    n = A.shape[1]
+    m = A.shape[0]
+    assert m == spec.m, f"A has {m} rows but spec.m={spec.m}"
+    tol = jnp.asarray(tol, dt)
+    reg_eps = jnp.asarray(1e-10 if dt == jnp.float64 else 1e-7, dt)
+    zero_mask = jnp.asarray(1.0 - spec.cone_mask(), dt)
+    cone_mask = jnp.asarray(spec.cone_mask(), dt)
+    e = cn.identity_elem(spec, dtype=dt)
+    deg = spec.degree
+    if kkt_solve is None:
+        kkt_solve = _dense_kkt_solve
+
+    norm_b = jnp.maximum(1.0, jnp.linalg.norm(b, jnp.inf))
+    norm_c = jnp.maximum(1.0, jnp.linalg.norm(c, jnp.inf))
+
+    # ---------------- initialization (conelp-style) ----------------
+    w2_id = jnp.diag(cone_mask)  # W = I on cone rows, 0 block on zero rows
+    rhs0 = jnp.stack(
+        [
+            jnp.concatenate([jnp.zeros(n, dt), b]),
+            jnp.concatenate([-c, jnp.zeros(m, dt)]),
+        ],
+        axis=1,
+    )
+    sol0 = kkt_solve(A, w2_id, reg_eps, zero_mask, rhs0)
+    x0 = sol0[:n, 0]
+    s0 = _shift_interior(spec, -sol0[n:, 0] * cone_mask)
+    z0 = _shift_interior(spec, sol0[n:, 1])
+    tau0 = jnp.asarray(1.0, dt)
+    kap0 = jnp.asarray(1.0, dt)
+
+    big = jnp.asarray(jnp.inf, dt)
+    init = _State(
+        x=x0, s=s0, z=z0, tau=tau0, kappa=kap0,
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        status=jnp.asarray(int(IPMStatus.MAX_ITER), jnp.int32),
+        pres=big, dres=big, gap=big,
+    )
+
+    def residuals(st: _State):
+        rx = A.T @ st.z + c * st.tau
+        rz = A @ st.x + st.s - b * st.tau
+        rtau = jnp.dot(c, st.x) + jnp.dot(b, st.z) + st.kappa
+        return rx, rz, rtau
+
+    def convergence(st: _State):
+        """Relative residuals + optimality/infeasibility certificates."""
+        rx, rz, rtau = residuals(st)
+        inv_tau = 1.0 / st.tau
+        pres = jnp.linalg.norm(rz, jnp.inf) * inv_tau / norm_b
+        dres = jnp.linalg.norm(rx, jnp.inf) * inv_tau / norm_c
+        pcost = jnp.dot(c, st.x) * inv_tau
+        dcost = -jnp.dot(b, st.z) * inv_tau
+        gap = jnp.dot(st.s, st.z) * inv_tau * inv_tau
+        relgap = gap / jnp.maximum(1.0, jnp.minimum(jnp.abs(pcost), jnp.abs(dcost)))
+        optimal = (pres < tol) & (dres < tol) & (relgap < tol)
+
+        # primal infeasibility certificate: A'z ~ 0, b'z < 0
+        bz = jnp.dot(b, st.z)
+        zbar_scale = jnp.where(bz < 0, -1.0 / jnp.minimum(bz, -1e-30), 0.0)
+        pinf_res = jnp.linalg.norm(A.T @ st.z, jnp.inf) * zbar_scale
+        pinf = (bz < -tol * norm_b) & (pinf_res < tol)
+
+        # dual infeasibility (primal unbounded): Ax + s ~ 0, c'x < 0
+        cx = jnp.dot(c, st.x)
+        xbar_scale = jnp.where(cx < 0, -1.0 / jnp.minimum(cx, -1e-30), 0.0)
+        dinf_res = jnp.linalg.norm(A @ st.x + st.s, jnp.inf) * xbar_scale
+        dinf = (cx < -tol * norm_c) & (dinf_res < tol)
+
+        status = jnp.where(
+            optimal,
+            int(IPMStatus.OPTIMAL),
+            jnp.where(
+                pinf,
+                int(IPMStatus.PRIMAL_INFEASIBLE),
+                jnp.where(
+                    dinf,
+                    int(IPMStatus.DUAL_INFEASIBLE),
+                    int(IPMStatus.MAX_ITER),
+                ),
+            ),
+        ).astype(jnp.int32)
+        return optimal | pinf | dinf, status, pres, dres, gap
+
+    def cond(st: _State):
+        return (~st.done) & (st.it < max_iter)
+
+    def body(st: _State):
+        rx, rz, rtau = residuals(st)
+        mu = (jnp.dot(st.s, st.z) + st.tau * st.kappa) / (deg + 1)
+
+        # NT scaling and scaled point
+        W = cn.nt_scaling(spec, st.s, st.z)
+        lam = cn.lambda_vec(spec, W, st.z)
+
+        # KKT with current W^2; two constant RHS columns solved together:
+        #   col 0: [-c; b]            (tau-elimination direction u)
+        #   col 1..: residual-driven directions, per predictor/corrector
+        w2 = cn.w2_dense(spec, W, dtype=dt)
+
+        def directions(sigma, eta_corr, dkap_corr):
+            """Solve for (dx, dz, ds, dtau, dkappa) for a combined target:
+            residual scaling (1-sigma), complementarity RHS
+              d_s = -lam o lam - eta_corr + sigma*mu*e,
+              d_kappa = -tau*kappa - dkap_corr + sigma*mu.
+            """
+            one_m_sig = 1.0 - sigma
+            d_s = -cn.cone_product(spec, lam, lam) - eta_corr + sigma * mu * e
+            d_kap = -st.tau * st.kappa - dkap_corr + sigma * mu
+
+            # bs = W(lam \ d_s)  (zero on zero-cone rows)
+            bs = cn.scale(spec, W, cn.cone_div(spec, lam, d_s)) * cone_mask
+
+            rhs = jnp.stack(
+                [
+                    jnp.concatenate([-c, b]),
+                    jnp.concatenate([-one_m_sig * rx, -one_m_sig * rz - bs]),
+                ],
+                axis=1,
+            )
+            sol = kkt_solve(A, w2, reg_eps, zero_mask, rhs)
+            u1, u2 = sol[:n, 0], sol[n:, 0]
+            v1, v2 = sol[:n, 1], sol[n:, 1]
+
+            denom = jnp.dot(c, u1) + jnp.dot(b, u2) - st.kappa / st.tau
+            numer = -one_m_sig * rtau - jnp.dot(c, v1) - jnp.dot(b, v2) - d_kap / st.tau
+            dtau = numer / denom
+            dx = u1 * dtau + v1
+            dz = u2 * dtau + v2
+            ds = (bs - w2 @ dz) * cone_mask
+            dkap = (d_kap - st.kappa * dtau) / st.tau
+            return dx, dz, ds, dtau, dkap
+
+        def step_len(ds, dz, dtau, dkap):
+            a_s = cn.max_step(spec, st.s, ds)
+            a_z = cn.max_step(spec, st.z, dz)
+            a_t = jnp.where(dtau < 0, -st.tau / jnp.minimum(dtau, -1e-30), big)
+            a_k = jnp.where(dkap < 0, -st.kappa / jnp.minimum(dkap, -1e-30), big)
+            return jnp.minimum(jnp.minimum(a_s, a_z), jnp.minimum(a_t, a_k))
+
+        # ---- predictor (affine) ----
+        zero_v = jnp.zeros(m, dt)
+        dx_a, dz_a, ds_a, dt_a, dk_a = directions(
+            jnp.asarray(0.0, dt), zero_v, jnp.asarray(0.0, dt)
+        )
+        alpha_aff = jnp.minimum(1.0, step_len(ds_a, dz_a, dt_a, dk_a))
+        sigma = jnp.clip((1.0 - alpha_aff) ** 3, 1e-8, 1.0 - 1e-8)
+
+        # ---- corrector (Mehrotra): eta = (W^{-1}ds_a) o (W dz_a).
+        # Using ds_a = W(lam\d_s) - W^2 dz_a  =>  W^{-1}ds_a = -lam - W dz_a.
+        dz_a_t = cn.scale(spec, W, dz_a) * cone_mask
+        ds_a_t = (-lam - dz_a_t) * cone_mask
+        eta = cn.cone_product(spec, ds_a_t, dz_a_t)
+        dkap_corr = dt_a * dk_a
+
+        dx, dz, ds, dtau, dkap = directions(sigma, eta, dkap_corr)
+        alpha = jnp.minimum(1.0, 0.99 * step_len(ds, dz, dtau, dkap))
+
+        new = _State(
+            x=st.x + alpha * dx,
+            s=st.s + alpha * ds,
+            z=st.z + alpha * dz,
+            tau=st.tau + alpha * dtau,
+            kappa=st.kappa + alpha * dkap,
+            it=st.it + 1,
+            done=st.done,
+            status=st.status,
+            pres=st.pres, dres=st.dres, gap=st.gap,
+        )
+        stop, status, pres, dres, gap = convergence(new)
+        return _State(
+            x=new.x, s=new.s, z=new.z, tau=new.tau, kappa=new.kappa,
+            it=new.it, done=stop, status=status,
+            pres=pres, dres=dres, gap=gap,
+        )
+
+    # check whether the initial point already certifies something
+    stop0, status0, pres0, dres0, gap0 = convergence(init)
+    init = init._replace(done=stop0, status=status0, pres=pres0, dres=dres0, gap=gap0)
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    inv_tau = 1.0 / final.tau
+    # infeasibility certificates are returned as the (scaled) rays themselves
+    is_cert = (final.status == int(IPMStatus.PRIMAL_INFEASIBLE)) | (
+        final.status == int(IPMStatus.DUAL_INFEASIBLE)
+    )
+    scale_out = jnp.where(is_cert, 1.0, inv_tau)
+    x = final.x * scale_out
+    s = final.s * scale_out
+    z = final.z * scale_out
+    return IPMSolution(
+        x=x, s=s, z=z,
+        status=final.status,
+        iters=final.it,
+        obj=jnp.dot(c, x),
+        pres=final.pres, dres=final.dres, gap=final.gap,
+        tau=final.tau, kappa=final.kappa,
+    )
+
+
+def solve_batched(A, b, c, spec: ConeSpec, **kw) -> IPMSolution:
+    """vmap'd solve over a leading batch axis of (A, b, c)."""
+    fn = functools.partial(solve, spec=spec, **kw)
+    return jax.vmap(fn)(A, b, c)
