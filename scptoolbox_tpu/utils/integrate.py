@@ -16,12 +16,20 @@ import jax.numpy as jnp
 
 
 def rk4_step(f: Callable, x, t, dt):
-    """One classical RK4 step for dx/dt = f(t, x) (reference helper.jl:411-449)."""
+    """One classical RK4 step for dx/dt = f(t, x) (reference helper.jl:411-449).
+
+    `x` may be any pytree (e.g. the variational-state NamedTuple used by
+    ops/discretize.py); stage arithmetic is tree-mapped.
+    """
+    axpy = lambda a, y, z: jax.tree_util.tree_map(lambda l, m: a * l + m, y, z)
     k1 = f(t, x)
-    k2 = f(t + dt / 2, x + dt / 2 * k1)
-    k3 = f(t + dt / 2, x + dt / 2 * k2)
-    k4 = f(t + dt, x + dt * k3)
-    return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    k2 = f(t + dt / 2, axpy(dt / 2, k1, x))
+    k3 = f(t + dt / 2, axpy(dt / 2, k2, x))
+    k4 = f(t + dt, axpy(dt, k3, x))
+    ksum = jax.tree_util.tree_map(
+        lambda a, b, c, d: a + 2 * b + 2 * c + d, k1, k2, k3, k4
+    )
+    return axpy(dt / 6.0, ksum, x)
 
 
 def rk4(
