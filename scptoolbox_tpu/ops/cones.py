@@ -199,22 +199,31 @@ class NTScaling(NamedTuple):
 
 
 def nt_scaling(spec: ConeSpec, s, z) -> NTScaling:
-    """Compute the NT scaling from strictly interior s, z."""
+    """Compute the NT scaling from strictly interior s, z.
+
+    Boundary-grazing iterates can make the Jordan determinants s'Js, z'Jz (and
+    the linear ratios s/z) infinitesimally negative through roundoff; every
+    sqrt argument is floored at `tiny` so the scaling degrades gracefully
+    instead of producing NaN (the IPM's NaN guard then falls back to the best
+    iterate)."""
+    tiny = jnp.asarray(1e-300 if s.dtype == jnp.float64 else 1e-30, s.dtype)
     sl = spec.lin_slice
-    w_l = jnp.sqrt(s[sl] / z[sl]) if spec.nl > 0 else jnp.zeros(0, s.dtype)
+    w_l = (jnp.sqrt(jnp.maximum(s[sl] / z[sl], tiny)) if spec.nl > 0
+           else jnp.zeros(0, s.dtype))
     socs = []
     dims = []
     for d, idx in spec.soc_indices().items():
         sb = s[idx]  # (k, d)
         zb = z[idx]
         J = jnp.concatenate([jnp.ones(1, s.dtype), -jnp.ones(d - 1, s.dtype)])
-        res_s = jnp.sqrt(jnp.sum(sb * sb * J, axis=1, keepdims=True))  # sqrt(s'Js)
-        res_z = jnp.sqrt(jnp.sum(zb * zb * J, axis=1, keepdims=True))
+        res_s = jnp.sqrt(jnp.maximum(jnp.sum(sb * sb * J, axis=1, keepdims=True), tiny))
+        res_z = jnp.sqrt(jnp.maximum(jnp.sum(zb * zb * J, axis=1, keepdims=True), tiny))
         sbar = sb / res_s
         zbar = zb / res_z
-        gamma = jnp.sqrt((1.0 + jnp.sum(sbar * zbar, axis=1, keepdims=True)) / 2.0)
+        gamma = jnp.sqrt(jnp.maximum(
+            (1.0 + jnp.sum(sbar * zbar, axis=1, keepdims=True)) / 2.0, tiny))
         wbar = (sbar + zbar * J) / (2.0 * gamma)  # (sbar + J zbar)/(2 gamma)
-        eta = jnp.sqrt(res_s / res_z)
+        eta = jnp.sqrt(jnp.maximum(res_s / res_z, tiny))
         socs.append((eta, wbar))
         dims.append(d)
     return NTScaling(w_l, tuple(socs), tuple(dims))

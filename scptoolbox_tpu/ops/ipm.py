@@ -53,6 +53,7 @@ class IPMStatus(enum.IntEnum):
     PRIMAL_INFEASIBLE = 1
     DUAL_INFEASIBLE = 2
     MAX_ITER = 3  # ran out of iterations: solution returned, reduced accuracy
+    ALMOST_OPTIMAL = 4  # converged to tol_almost but not tol (MOI ALMOST_OPTIMAL)
 
 
 class IPMSolution(NamedTuple):
@@ -81,6 +82,18 @@ class _State(NamedTuple):
     pres: jnp.ndarray
     dres: jnp.ndarray
     gap: jnp.ndarray
+    # best iterate seen so far by merit = max(pres, dres, relgap); returned
+    # when the final iterate is worse or non-finite (robustness parity with
+    # ECOS's best-iterate fallback)
+    best_x: jnp.ndarray
+    best_s: jnp.ndarray
+    best_z: jnp.ndarray
+    best_tau: jnp.ndarray
+    best_kappa: jnp.ndarray
+    best_pres: jnp.ndarray
+    best_dres: jnp.ndarray
+    best_gap: jnp.ndarray
+    best_merit: jnp.ndarray
 
 
 def _dense_kkt_solve(A, w2, reg_eps, zero_mask, rhs):
@@ -151,6 +164,7 @@ def solve(
     spec: ConeSpec,
     *,
     tol: float = 1e-8,
+    tol_almost: float = 1e-5,
     max_iter: int = 50,
     kkt_solve: Optional[Callable] = None,
 ) -> IPMSolution:
@@ -195,6 +209,8 @@ def solve(
         done=jnp.asarray(False),
         status=jnp.asarray(int(IPMStatus.MAX_ITER), jnp.int32),
         pres=big, dres=big, gap=big,
+        best_x=x0, best_s=s0, best_z=z0, best_tau=tau0, best_kappa=kap0,
+        best_pres=big, best_dres=big, best_gap=big, best_merit=big,
     )
 
     def residuals(st: _State):
@@ -240,7 +256,9 @@ def solve(
                 ),
             ),
         ).astype(jnp.int32)
-        return optimal | pinf | dinf, status, pres, dres, gap
+        merit = jnp.maximum(jnp.maximum(pres, dres), relgap)
+        merit = jnp.where(jnp.isfinite(merit), merit, big)
+        return optimal | pinf | dinf, status, pres, dres, gap, merit
 
     def cond(st: _State):
         return (~st.done) & (st.it < max_iter)
@@ -316,46 +334,86 @@ def solve(
         dx, dz, ds, dtau, dkap = directions(sigma, eta, dkap_corr)
         alpha = jnp.minimum(1.0, 0.99 * step_len(ds, dz, dtau, dkap))
 
-        new = _State(
-            x=st.x + alpha * dx,
-            s=st.s + alpha * ds,
-            z=st.z + alpha * dz,
-            tau=st.tau + alpha * dtau,
-            kappa=st.kappa + alpha * dkap,
-            it=st.it + 1,
-            done=st.done,
-            status=st.status,
-            pres=st.pres, dres=st.dres, gap=st.gap,
-        )
-        stop, status, pres, dres, gap = convergence(new)
-        return _State(
-            x=new.x, s=new.s, z=new.z, tau=new.tau, kappa=new.kappa,
-            it=new.it, done=stop, status=status,
+        x_n = st.x + alpha * dx
+        s_n = st.s + alpha * ds
+        z_n = st.z + alpha * dz
+        tau_n = st.tau + alpha * dtau
+        kap_n = st.kappa + alpha * dkap
+
+        # NaN guard: if the step produced non-finite values (boundary-grazing
+        # NT scaling, singular KKT), discard it and stop — the best iterate
+        # carries the answer.
+        finite = (jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(s_n))
+                  & jnp.all(jnp.isfinite(z_n)) & jnp.isfinite(tau_n)
+                  & jnp.isfinite(kap_n) & (tau_n > 0))
+        x_n = jnp.where(finite, x_n, st.x)
+        s_n = jnp.where(finite, s_n, st.s)
+        z_n = jnp.where(finite, z_n, st.z)
+        tau_n = jnp.where(finite, tau_n, st.tau)
+        kap_n = jnp.where(finite, kap_n, st.kappa)
+
+        new = st._replace(x=x_n, s=s_n, z=z_n, tau=tau_n, kappa=kap_n,
+                          it=st.it + 1)
+        stop, status, pres, dres, gap, merit = convergence(new)
+        better = merit < st.best_merit
+        pick = lambda a, b: jnp.where(better, a, b)
+        return new._replace(
+            done=stop | ~finite, status=status,
             pres=pres, dres=dres, gap=gap,
+            best_x=pick(new.x, st.best_x), best_s=pick(new.s, st.best_s),
+            best_z=pick(new.z, st.best_z), best_tau=pick(new.tau, st.best_tau),
+            best_kappa=pick(new.kappa, st.best_kappa),
+            best_pres=pick(pres, st.best_pres),
+            best_dres=pick(dres, st.best_dres),
+            best_gap=pick(gap, st.best_gap),
+            best_merit=pick(merit, st.best_merit),
         )
 
     # check whether the initial point already certifies something
-    stop0, status0, pres0, dres0, gap0 = convergence(init)
-    init = init._replace(done=stop0, status=status0, pres=pres0, dres=dres0, gap=gap0)
+    stop0, status0, pres0, dres0, gap0, merit0 = convergence(init)
+    init = init._replace(done=stop0, status=status0, pres=pres0, dres=dres0,
+                         gap=gap0, best_pres=pres0, best_dres=dres0,
+                         best_gap=gap0, best_merit=merit0)
 
     final = jax.lax.while_loop(cond, body, init)
 
-    inv_tau = 1.0 / final.tau
-    # infeasibility certificates are returned as the (scaled) rays themselves
+    # fall back to the best iterate when it beats the final one (divergence /
+    # NaN-guard exit); certificates keep the final iterate.
     is_cert = (final.status == int(IPMStatus.PRIMAL_INFEASIBLE)) | (
         final.status == int(IPMStatus.DUAL_INFEASIBLE)
     )
+    _, _, fpres, fdres, fgap, fmerit = convergence(final)
+    use_best = (~is_cert) & (final.best_merit < fmerit)
+    sel = lambda a, b: jnp.where(use_best, a, b)
+    x_f = sel(final.best_x, final.x)
+    s_f = sel(final.best_s, final.s)
+    z_f = sel(final.best_z, final.z)
+    tau_f = sel(final.best_tau, final.tau)
+    kap_f = sel(final.best_kappa, final.kappa)
+    pres_f = sel(final.best_pres, fpres)
+    dres_f = sel(final.best_dres, fdres)
+    gap_f = sel(final.best_gap, fgap)
+    merit_f = jnp.minimum(final.best_merit, fmerit)
+    status = jnp.where(
+        (final.status == int(IPMStatus.MAX_ITER))
+        & (merit_f < jnp.asarray(tol_almost, dt)),
+        jnp.asarray(int(IPMStatus.ALMOST_OPTIMAL), jnp.int32),
+        final.status,
+    )
+
+    inv_tau = 1.0 / tau_f
+    # infeasibility certificates are returned as the (scaled) rays themselves
     scale_out = jnp.where(is_cert, 1.0, inv_tau)
-    x = final.x * scale_out
-    s = final.s * scale_out
-    z = final.z * scale_out
+    x = x_f * scale_out
+    s = s_f * scale_out
+    z = z_f * scale_out
     return IPMSolution(
         x=x, s=s, z=z,
-        status=final.status,
+        status=status,
         iters=final.it,
         obj=jnp.dot(c, x),
-        pres=final.pres, dres=final.dres, gap=final.gap,
-        tau=final.tau, kappa=final.kappa,
+        pres=pres_f, dres=dres_f, gap=gap_f,
+        tau=tau_f, kappa=kap_f,
     )
 
 

@@ -1,0 +1,222 @@
+"""Trajectory problem definition: the TPU-native modeling layer.
+
+Replaces BOTH reference layers L2 (the JuMP-macro conic parser,
+src/parser/{program,block,cone,constraint,cost}.jl, ~3k LoC of
+metaprogramming) and L3 (src/parser/problem.jl `TrajectoryProblem` +
+`problem_set_*!` setters): a problem is a dataclass of *pure JAX functions*.
+
+Key design shifts (not a port):
+  * constraints are functions returning cone-tagged residual blocks
+    (`ConeCon`); there is no symbolic expression graph. Affine/conic
+    structure is extracted by `jax.jacfwd` at the reference point — exact
+    for the affine-in-decision-variables functions the contract requires
+    (the same contract JuMP's affine expressions impose on the reference).
+  * Jacobians of dynamics, nonconvex path constraints, and boundary
+    conditions come from AD by default; the reference requires them
+    hand-derived (problem.jl:432-497, :562-589, :603-626).
+  * costs must be affine or convex-quadratic in (x, u, p); the quadratic
+    part is extracted by AD Hessians and enforced through SOC epigraphs
+    (JuMP does the same bridging for ECOS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scptoolbox_tpu.ops.discretize import DiscretizationType
+
+
+class ConeKind(enum.Enum):
+    """Cone tags for constraint residual blocks (reference cone.jl:48
+    `SupportedCone`; L1/LINF/GEOM are lowered at build time, EXP is handled
+    by the GuSTO softplus path only)."""
+
+    ZERO = "zero"      # v = 0
+    NONPOS = "nonpos"  # v <= 0 elementwise
+    SOC = "soc"        # v[0] >= ||v[1:]||_2
+    L1 = "l1"          # v[0] >= ||v[1:]||_1   (lowered: aux slacks)
+    LINF = "linf"      # v[0] >= max|v[1:]|    (lowered: linear rows)
+    GEOM = "geom"      # geomean(v[1:]) >= v[0] (lowered to SOC, 2-term)
+
+
+class ConeCon(NamedTuple):
+    """A residual vector tagged with its cone: `v in K`."""
+
+    kind: ConeKind
+    v: jnp.ndarray
+
+
+def zero(v) -> ConeCon:
+    return ConeCon(ConeKind.ZERO, jnp.atleast_1d(v))
+
+
+def nonpos(v) -> ConeCon:
+    return ConeCon(ConeKind.NONPOS, jnp.atleast_1d(v))
+
+
+def soc(v) -> ConeCon:
+    return ConeCon(ConeKind.SOC, jnp.atleast_1d(v))
+
+
+def l1(v) -> ConeCon:
+    return ConeCon(ConeKind.L1, jnp.atleast_1d(v))
+
+
+def linf(v) -> ConeCon:
+    return ConeCon(ConeKind.LINF, jnp.atleast_1d(v))
+
+
+def geom(v) -> ConeCon:
+    return ConeCon(ConeKind.GEOM, jnp.atleast_1d(v))
+
+
+class BoundingBox(NamedTuple):
+    """Per-dimension (min, max) scaling advice
+    (reference problem.jl:263-283 `problem_advise_scale!`)."""
+
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+
+
+@dataclasses.dataclass
+class TrajectoryProblem:
+    """Definition of a nonconvex trajectory optimization problem
+    (capability parity with reference src/parser/problem.jl:64-121).
+
+    All callables are pure jnp functions; `k` arguments are traced node
+    indices (use masks/weights, never Python branches, for per-node logic).
+
+    Required:
+      nx, nu, np: state/input/parameter dimensions.
+      f: dynamics `f(t, x, u, p) -> (nx,)` (IMPULSE: the coasting field).
+      guess: `(N) -> (x (N,nx), u (N,nu), p (np,))` initial trajectory.
+
+    Optional (None = absent):
+      jac: analytic `(t,x,u,p) -> (A,B,F)` overriding AD.
+      impulse: `(t,x,u,p) -> (nx,)` state jump (IMPULSE discretization).
+      terminal_cost: `phi(xf, p) -> scalar`, affine/convex-quadratic.
+      running_cost: `Gamma(t, k, x, u, p) -> scalar`, affine/convex-quadratic
+        (SCvx/PTR form, reference problem.jl:365-418).
+      X: convex state set `(t, k, x, p) -> [ConeCon, ...]` — affine residuals.
+      U: convex input set `(t, k, u, p) -> [ConeCon, ...]` — affine residuals.
+      s: nonconvex path constraints `(t, k, x, u, p) -> (ns,)`, enforced
+        s <= 0 by linearization + slack (reference problem.jl:562-589); its
+        C, D, G Jacobians come from AD.
+      gic/gtc: boundary conditions `g(x, p) -> vector` = 0 (linearized with
+        AD; reference problem.jl:603-626 requires H, K by hand).
+      integration_actions: post-RK4-step state fixup `x -> x` (e.g.
+        quaternion renormalization, reference problem.jl:296-305).
+      xrg/urg/prg: BoundingBox scaling advice; when absent, scaling derives
+        from the guess trajectory's ranges (the reference instead solves
+        min/max LPs per variable, scp.jl:376-517 — available separately).
+      callback: host-side per-iteration hook `(iteration_state) -> bool`;
+        returning True suppresses stopping (reference problem.jl:322-354).
+    """
+
+    nx: int
+    nu: int
+    np: int
+    f: Callable
+    guess: Callable
+    jac: Optional[Callable] = None
+    impulse: Optional[Callable] = None
+    terminal_cost: Optional[Callable] = None
+    running_cost: Optional[Callable] = None
+    X: Optional[Callable] = None
+    U: Optional[Callable] = None
+    s: Optional[Callable] = None
+    gic: Optional[Callable] = None
+    gtc: Optional[Callable] = None
+    integration_actions: Optional[Callable] = None
+    xrg: Optional[BoundingBox] = None
+    urg: Optional[BoundingBox] = None
+    prg: Optional[BoundingBox] = None
+    callback: Optional[Callable] = None
+
+    def dims(self) -> Tuple[int, int, int]:
+        return self.nx, self.nu, self.np
+
+
+# --------------------------------------------------------------------------
+# Affine extraction: turn cone-tagged residual functions into subproblem rows
+# --------------------------------------------------------------------------
+
+
+class AffineBlocks(NamedTuple):
+    """Affine form of a list of ConeCons wrt stacked args:
+    v_i(args) = J_i @ concat(args) + v0_i, tagged with kinds/dims (static)."""
+
+    kinds: Tuple[ConeKind, ...]
+    dims: Tuple[int, ...]
+    J: jnp.ndarray   # (sum dims, total arg dim)
+    v0: jnp.ndarray  # (sum dims,)
+
+
+def constraint_structure(fn: Callable, *example_args) -> Tuple[Tuple[ConeKind, ...], Tuple[int, ...]]:
+    """Evaluate once with example arguments to learn the static structure
+    (number of blocks, their kinds and dimensions)."""
+    cons = fn(*example_args)
+    kinds = tuple(c.kind for c in cons)
+    dims = tuple(int(c.v.shape[0]) for c in cons)
+    return kinds, dims
+
+
+def affine_blocks(fn: Callable, args: Sequence[jnp.ndarray],
+                  static_args: Sequence = ()) -> AffineBlocks:
+    """Extract (J, v0) of the stacked residuals of `fn(*static_args, *args)`
+    with respect to concat(args), evaluated at `args`.
+
+    EXACT when the residuals are affine in args (the convex-constraint
+    contract); for nonconvex path constraints this is the linearization
+    the SCP algorithms require anyway.
+    """
+    sizes = [int(a.shape[0]) for a in args]
+    splits = np.cumsum(sizes)[:-1]
+
+    def stacked(vec):
+        parts = jnp.split(vec, splits)
+        cons = fn(*static_args, *parts)
+        return jnp.concatenate([c.v for c in cons]) if cons else jnp.zeros(0)
+
+    at = jnp.concatenate(args) if args else jnp.zeros(0)
+    v_ref = stacked(at)
+    J = jax.jacfwd(stacked)(at)
+    v0 = v_ref - J @ at
+    cons = fn(*static_args, *args)
+    kinds = tuple(c.kind for c in cons)
+    dims = tuple(int(c.v.shape[0]) for c in cons)
+    return AffineBlocks(kinds=kinds, dims=dims, J=J, v0=v0)
+
+
+class QuadraticForm(NamedTuple):
+    """Second-order expansion of a scalar cost at a reference point:
+    J(d) = 0.5 (d-d0)'H(d-d0) + g'(d-d0) + c. Exact for quadratic costs."""
+
+    H: jnp.ndarray
+    g: jnp.ndarray
+    c: jnp.ndarray
+    d0: jnp.ndarray
+
+
+def quadratic_form(fn: Callable, args: Sequence[jnp.ndarray],
+                   static_args: Sequence = ()) -> QuadraticForm:
+    """Extract the quadratic form of `fn(*static_args, *args)` wrt
+    concat(args) by AD (value, gradient, Hessian at the reference)."""
+    sizes = [int(a.shape[0]) for a in args]
+    splits = np.cumsum(sizes)[:-1]
+
+    def scalar(vec):
+        parts = jnp.split(vec, splits)
+        return fn(*static_args, *parts)
+
+    d0 = jnp.concatenate(args)
+    c = scalar(d0)
+    g = jax.grad(scalar)(d0)
+    H = jax.hessian(scalar)(d0)
+    return QuadraticForm(H=H, g=g, c=c, d0=d0)

@@ -1,0 +1,335 @@
+"""PTR: penalized trust region SCP algorithm (reference src/solvers/ptr.jl).
+
+The TPU-native redesign: the reference rebuilds a JuMP model and re-posts
+every constraint macro each iteration (ptr.jl:470); here ONE traced step
+function — discretize(ref) -> assemble dense conic data -> batched IPM ->
+extract -> discretize(new) for the feasibility check — is jitted, so the
+outer loop only moves scalars to the host for stopping/printing, and the
+whole step vmaps across scenario batches (the "batched SCP solves" bench).
+
+Algorithmic parity (ptr.jl):
+  * per-node trust-region radii eta_x, eta_u and scalar eta_p are DECISION
+    variables bounded below by the q-norm of the scaled deviation
+    (add_trust_region!, ptr.jl:565-743; q in {1, 2, 4, inf}, where q=4
+    bounds the SQUARED 2-norm via SOC+GEOM squaring);
+  * cost  J_orig + wtr (trapz(eta_x) + trapz(eta_u) + eta_p)
+                 + wvc (trapz(P) + sum(Pf)),
+    P_k >= ||E_k vd_k||_1 + ||vs_k||_1, Pf = (||vic||_1, ||vtc||_1)
+    (compute_*_penalty!, ptr.jl:753-895) — represented here in lowered form
+    (abs-epigraph wvd rows, nonneg vs, +-split vic/vtc) with identical
+    optimum;
+  * update rule: always accept, reference <- solution (ptr.jl:509);
+  * stop when iter > 1 and feasible and (|improv_rel| <= eps_rel or
+    deviation <= eps_abs) (check_stopping_criterion!, ptr.jl:908-932),
+    deviation per scp.jl:909-931.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scptoolbox_tpu.config import SCPStatus, default_dtype
+from scptoolbox_tpu.ops import ipm
+from scptoolbox_tpu.ops.discretize import (DiscretizationType, discretize,
+                                           propagate)
+from scptoolbox_tpu.parser.problem import ConeKind, TrajectoryProblem
+from scptoolbox_tpu.solvers.scaling import compute_scaling
+from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
+from scptoolbox_tpu.solvers.subproblem import Assembler
+from scptoolbox_tpu.solvers.template import SCPTemplate, BlockPoster
+from scptoolbox_tpu.utils.table import Column, Table
+
+
+@dataclasses.dataclass(frozen=True)
+class PTRParameters:
+    """PTR algorithm parameters (reference ptr.jl:57-71)."""
+
+    N: int = 30                 # temporal grid nodes
+    Nsub: int = 15              # RK4 substeps per interval
+    iter_max: int = 30
+    disc_method: DiscretizationType = DiscretizationType.FOH
+    wvc: float = 1e2            # virtual control weight
+    wtr: float = 1e-2           # trust region weight
+    eps_abs: float = 1e-5       # absolute deviation tolerance
+    eps_rel: float = 1e-3       # relative cost-improvement tolerance
+    feas_tol: float = 5e-3      # dynamic feasibility (defect) tolerance
+    q_tr: float = math.inf      # trust region norm: 1, 2, 4 (= squared 2), inf
+    q_exit: float = math.inf    # exit-criterion deviation norm
+    ipm_tol: float = 1e-8
+    ipm_max_iter: int = 60
+
+
+_Q2KIND = {1.0: ConeKind.L1, 2.0: ConeKind.SOC, math.inf: ConeKind.LINF}
+
+
+class _TrustRegion:
+    """Plans and posts the per-node trust-region rows
+    eta >= ||iS (z - z_ref)||_q (reference add_trust_region!,
+    ptr.jl:565-743)."""
+
+    def __init__(self, name: str, nz: int, count: int, q: float, tmpl):
+        self.name, self.nz, self.count, self.q = name, nz, count, q
+        if q == 4.0:
+            tmpl.plan.soc(name + "_tr", count, nz + 2)
+        else:
+            self.poster = BlockPoster(
+                name + "_tr", _Q2KIND[float(q)], 1 + nz, count,
+                tmpl.layout, tmpl.plan)
+
+    def post(self, asm, tmpl, z_idx, eta_idx, iS, z_ref):
+        """z_idx (count, nz) static; eta_idx (count,); iS (nz,) traced;
+        z_ref (count, nz) traced."""
+        count, nz = self.count, self.nz
+        dt = tmpl.dtype
+        cols = np.concatenate(
+            [np.asarray(z_idx).reshape(count, nz),
+             np.asarray(eta_idx).reshape(count, 1)], axis=1)
+        diS = jnp.broadcast_to(jnp.diag(iS), (count, nz, nz))
+        if self.q == 4.0:
+            # eta >= ||delta||_2^2 : SOC [eta+1, 2 delta, eta-1]
+            J = jnp.zeros((count, nz + 2, nz + 1), dt)
+            J = J.at[:, 0, nz].set(1.0)
+            J = J.at[:, 1:nz + 1, :nz].set(2.0 * diS)
+            J = J.at[:, nz + 1, nz].set(1.0)
+            v0 = jnp.concatenate(
+                [jnp.ones((count, 1), dt), -2.0 * z_ref * iS[None, :],
+                 -jnp.ones((count, 1), dt)], axis=1)
+            asm.res_soc(tmpl.plan.rows(self.name + "_tr"), cols, J, v0)
+        else:
+            J = jnp.zeros((count, 1 + nz, nz + 1), dt)
+            J = J.at[:, 0, nz].set(1.0)
+            J = J.at[:, 1:, :nz].set(diS)
+            v0 = jnp.concatenate(
+                [jnp.zeros((count, 1), dt), -z_ref * iS[None, :]], axis=1)
+            self.poster.post(asm, tmpl.plan, tmpl.layout, cols, J, v0)
+
+
+def _pnorm(v, q):
+    if q == math.inf:
+        return jnp.max(jnp.abs(v), axis=-1)
+    return jnp.sum(jnp.abs(v) ** q, axis=-1) ** (1.0 / q)
+
+
+class PTR:
+    """PTR solver instance bound to one TrajectoryProblem (reference
+    `PTR.create` + `PTR.solve`, ptr.jl:148, :448-532)."""
+
+    def __init__(self, pbm: TrajectoryProblem, pars: PTRParameters,
+                 dtype=None):
+        self.pbm = pbm
+        self.pars = pars
+        self.dtype = dtype or default_dtype()
+        N = pars.N
+        self.t_np = np.linspace(0.0, 1.0, N)
+        tmpl = SCPTemplate(pbm, N, self.t_np, relax_dynamics=True,
+                           relax_bcs=True, dtype=self.dtype)
+        lay = tmpl.layout
+        lay.add("eta_x", N)
+        lay.add("eta_u", N)
+        if pbm.np > 0:
+            lay.add("eta_p")
+        self._tr_x = _TrustRegion("x", pbm.nx, N, pars.q_tr, tmpl)
+        self._tr_u = _TrustRegion("u", pbm.nu, N, pars.q_tr, tmpl)
+        if pbm.np > 0:
+            self._tr_p = _TrustRegion("p", pbm.np, 1, pars.q_tr, tmpl)
+        self.spec = tmpl.freeze()
+        self.tmpl = tmpl
+
+        # scaling fixed per problem instance (from advice / guess)
+        xg, ug, pg = pbm.guess(N)
+        self._guess = (jnp.asarray(xg, self.dtype), jnp.asarray(ug, self.dtype),
+                       jnp.asarray(pg, self.dtype))
+        self.scaling = compute_scaling(pbm, *self._guess)
+        self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
+        self._E = jnp.eye(pbm.nx, dtype=self.dtype)  # scp.jl:149
+
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+
+    def _discretize(self, x, u, p):
+        return discretize(
+            self.pbm.f, x, u, p, jnp.asarray(self.t_np, self.dtype), self._E,
+            nsub=self.pars.Nsub, method=self.pars.disc_method,
+            jac=self.pbm.jac, impulse=self.pbm.impulse,
+            actions=self.pbm.integration_actions)
+
+    def _assemble(self, ref_x, ref_u, ref_p, dltv):
+        tmpl, pars = self.tmpl, self.pars
+        lay, plan = tmpl.layout, tmpl.plan
+        N = pars.N
+        dt = self.dtype
+        asm = Assembler(tmpl.m, tmpl.n, dt)
+        tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv)
+
+        sc = self.scaling
+        self._tr_x.post(asm, tmpl, lay.idx("x"), lay.idx("eta_x"),
+                        1.0 / sc.Sx, ref_x)
+        self._tr_u.post(asm, tmpl, lay.idx("u"), lay.idx("eta_u"),
+                        1.0 / sc.Su, ref_u)
+        if self.pbm.np > 0:
+            self._tr_p.post(asm, tmpl, lay.idx("p")[None, :],
+                            lay.idx("eta_p").reshape(1), 1.0 / sc.Sp,
+                            ref_p[None, :])
+
+        # trust-region penalty (ptr.jl:753-789)
+        w = jnp.asarray(tmpl.w_trapz, dt)
+        asm.add_c(lay.idx("eta_x"), pars.wtr * w)
+        asm.add_c(lay.idx("eta_u"), pars.wtr * w)
+        if self.pbm.np > 0:
+            asm.add_c(lay.idx("eta_p").reshape(1),
+                      jnp.asarray([pars.wtr], dt))
+
+        # virtual-control penalty (ptr.jl:799-895): wvc trapz-weighted
+        asm.add_c(lay.idx("wvd"),
+                  jnp.broadcast_to((pars.wvc * w[:-1])[:, None],
+                                   (N - 1, self.pbm.nx)))
+        if tmpl.struct.ns:
+            asm.add_c(lay.idx("vs"),
+                      jnp.broadcast_to((pars.wvc * w)[:, None],
+                                       (N, tmpl.struct.ns)))
+        for nm in ("vic", "vtc"):
+            if lay.has(nm + "_pos"):
+                for sfx in ("_pos", "_neg"):
+                    idx = lay.idx(nm + sfx)
+                    asm.add_c(idx, jnp.full(idx.shape, pars.wvc, dt))
+
+        return asm.finish(self._S_full, self._c_full)
+
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, J_aug_ref):
+        """One full PTR iteration on device."""
+        pars, tmpl = self.pars, self.tmpl
+        sc = self.scaling
+        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv)
+        sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
+                        max_iter=pars.ipm_max_iter)
+        d = self._S_full * sol.x + self._c_full
+        x, u, p = tmpl.extract(d)
+        J_aug = sol.obj + const
+        J_orig = tmpl.original_cost(x, u, p)
+
+        dltv_new = self._discretize(x, u, p)
+        defect_norm = jnp.max(jnp.abs(dltv_new.defects / sc.Sx[None, :]))
+        feas = defect_norm <= pars.feas_tol
+
+        # deviation in scaled variables (scp.jl:909-931)
+        q = pars.q_exit
+        dx = jnp.max(_pnorm((x - ref_x) / sc.Sx[None, :], q))
+        dp = (_pnorm((p - ref_p) / sc.Sp, q) if self.pbm.np > 0
+              else jnp.zeros((), self.dtype))
+        deviation = dx + dp
+        improv_rel = (J_aug_ref - J_aug) / jnp.abs(J_aug_ref)
+
+        lay = tmpl.layout
+        vd_norm = jnp.max(jnp.abs(d[lay.sl("wvd")]))
+        vs_norm = (jnp.max(jnp.abs(d[lay.sl("vs")])) if tmpl.struct.ns
+                   else jnp.zeros((), self.dtype))
+        eta_x = d[lay.sl("eta_x")]
+        return dict(
+            x=x, u=u, p=p, dltv=dltv_new, J_aug=J_aug, J_orig=J_orig,
+            feas=feas, deviation=deviation, improv_rel=improv_rel,
+            defect_norm=defect_norm, vd_norm=vd_norm, vs_norm=vs_norm,
+            eta_max=jnp.max(eta_x), ipm_status=sol.status,
+            ipm_iters=sol.iters, pres=sol.pres, dres=sol.dres)
+
+    # ------------------------------------------------------------------
+
+    def solve(self, warm: Optional[SCPSolution] = None,
+              verbose: bool = False) -> SCPSolution:
+        """Run the PTR loop (reference ptr.jl:448-532). Host-side loop over a
+        fully jitted step so callbacks/printing stay possible; the jitted
+        no-callback batched path is `solve_batched`."""
+        pars = self.pars
+        table = Table([
+            Column("iter", "iter", "{:4d}"),
+            Column("J_orig", "J", "{:12.4e}"),
+            Column("J_aug", "J_aug", "{:12.4e}"),
+            Column("dJ_rel", "dJ %", "{:9.2e}"),
+            Column("defect", "defect", "{:9.2e}"),
+            Column("vd", "vd", "{:8.1e}"),
+            Column("vs", "vs", "{:8.1e}"),
+            Column("dev", "deviation", "{:9.2e}"),
+            Column("eta", "eta", "{:8.1e}"),
+            Column("ipm", "ipm", "{:4d}"),
+        ]) if verbose else None
+
+        if warm is not None:
+            ref = (jnp.asarray(warm.xd, self.dtype),
+                   jnp.asarray(warm.ud, self.dtype),
+                   jnp.asarray(warm.p, self.dtype))
+        else:
+            ref = self._guess
+        dltv = self._discretize(*ref)
+        J_aug_ref = jnp.asarray(jnp.inf, self.dtype)
+
+        history = []
+        status = SCPStatus.FAILED
+        out = None
+        n_iter = 0
+        for it in range(pars.iter_max):
+            t0 = time.perf_counter()
+            out = self._step(*ref, dltv, J_aug_ref)
+            J_aug = float(out["J_aug"])
+            feas = bool(out["feas"])
+            deviation = float(out["deviation"])
+            improv_rel = float(out["improv_rel"])
+            n_iter = it + 1
+            rec = IterationRecord(
+                iteration=n_iter,
+                x=np.asarray(out["x"]), u=np.asarray(out["u"]),
+                p=np.asarray(out["p"]),
+                J_aug=J_aug, J_orig=float(out["J_orig"]), feas=feas,
+                deviation=deviation, improv_rel=improv_rel,
+                ipm_status=int(out["ipm_status"]),
+                ipm_iters=int(out["ipm_iters"]),
+                defect_norm=float(out["defect_norm"]),
+                vd_norm=float(out["vd_norm"]), vs_norm=float(out["vs_norm"]),
+                timing={"total": time.perf_counter() - t0})
+            history.append(rec)
+            if table:
+                table.print_row(dict(
+                    iter=n_iter, J_orig=rec.J_orig, J_aug=J_aug,
+                    dJ_rel=improv_rel, defect=rec.defect_norm,
+                    vd=rec.vd_norm, vs=rec.vs_norm, dev=deviation,
+                    eta=float(out["eta_max"]), ipm=rec.ipm_iters))
+
+            stop = (it > 0 and feas
+                    and (abs(improv_rel) <= pars.eps_rel
+                         or deviation <= pars.eps_abs))
+            if self.pbm.callback is not None:
+                if self.pbm.callback(rec):  # veto stopping (problem.jl:322)
+                    stop = False
+            if stop:
+                status = SCPStatus.SOLVED
+                break
+            ref = (out["x"], out["u"], out["p"])
+            dltv = out["dltv"]
+            J_aug_ref = out["J_aug"]
+
+        xd = np.asarray(out["x"])
+        ud = np.asarray(out["u"])
+        p = np.asarray(out["p"])
+        ts, xs = propagate(
+            self.pbm.f, out["x"][0], out["u"], out["p"],
+            jnp.asarray(self.t_np, self.dtype),
+            nsub=2 * pars.Nsub, method=pars.disc_method,
+            impulse=self.pbm.impulse, actions=self.pbm.integration_actions)
+        return SCPSolution(
+            status=status, algorithm="ptr", iterations=n_iter,
+            xd=xd, ud=ud, p=p, cost=float(out["J_orig"]),
+            t_grid=self.t_np.copy(), feas=bool(out["feas"]),
+            history=history, t_cont=np.asarray(ts), x_cont=np.asarray(xs))
+
+
+def solve(pbm: TrajectoryProblem, pars: PTRParameters,
+          warm: Optional[SCPSolution] = None,
+          verbose: bool = False) -> SCPSolution:
+    """Convenience one-shot PTR solve (reference `PTR.solve`, ptr.jl:448)."""
+    return PTR(pbm, pars).solve(warm=warm, verbose=verbose)
