@@ -96,39 +96,139 @@ class _State(NamedTuple):
     best_merit: jnp.ndarray
 
 
-def _dense_kkt_solve(A, w2, reg_eps, zero_mask, rhs):
-    """Solve the (n+m) quasi-definite KKT system
+def _w2_matvec(spec, W, M, cone_mask):
+    """Apply W^2 to the columns of M analytically (0 on zero rows)."""
+    apply = lambda v: cn.scale(spec, W, cn.scale(spec, W, v)) * cone_mask
+    if M.ndim == 1:
+        return apply(M)
+    return jax.vmap(apply, in_axes=1, out_axes=1)(M)
+
+
+class _LUKKT:
+    """Dense LU factorization of the regularized quasi-definite system
 
         [ eps*I     A'          ] [dx]   [rhs_x]
         [ A      -(W^2 + reg)   ] [dz] = [rhs_z]
 
-    with static regularization and two rounds of iterative refinement
-    against the *unregularized* operator. `rhs` is (n+m, k).
-    Zero-cone rows have W^2 = 0 (pure equality rows); `zero_mask` is 1 there.
+    with iterative refinement against the *unregularized* operator.
+    CPU path (f64 LU is unsupported by the TPU compiler)."""
+
+    def __init__(self, spec, A, reg_eps, cone_mask):
+        self.spec, self.A, self.reg_eps = spec, A, reg_eps
+        self.cone_mask = cone_mask
+        self.n, self.m = A.shape[1], A.shape[0]
+
+    def factor(self, W):
+        n, m, A = self.n, self.m, self.A
+        dt = A.dtype
+        w2 = (cn.w2_dense(self.spec, W, dtype=dt) if W is not None
+              else jnp.diag(self.cone_mask))
+        K_reg = jnp.zeros((n + m, n + m), dt)
+        K_reg = K_reg.at[:n, :n].set(jnp.eye(n, dtype=dt) * self.reg_eps)
+        K_reg = K_reg.at[:n, n:].set(A.T)
+        K_reg = K_reg.at[n:, :n].set(A)
+        K_reg = K_reg.at[n:, n:].set(
+            -(w2 + self.reg_eps * jnp.eye(m, dtype=dt)))
+        lu, piv = jax.scipy.linalg.lu_factor(K_reg)
+        return (lu, piv, w2)
+
+    def solve(self, fac, rhs):
+        lu, piv, w2 = fac
+        n, A = self.n, self.A
+        sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+        for _ in range(2):  # refinement vs the unregularized K0
+            resid = rhs - jnp.concatenate(
+                [A.T @ sol[n:], A @ sol[:n] - w2 @ sol[n:]], axis=0)
+            sol = sol + jax.scipy.linalg.lu_solve((lu, piv), resid)
+        return sol
+
+
+class _QRCholKKT:
+    """Null-space KKT solve (CVXOPT conelp's QR kktsolver): handles the
+    equality (zero-cone) rows exactly through a QR of A_E' hoisted out of
+    the IPM loop, then per-iteration Cholesky of the reduced normal
+    equations — only Cholesky/QR/triangular solves, all of which the TPU
+    compiler supports in f64 (LU does not).
+
+        A = [A_E; A_C] (zero rows first).  A_E' = Q R, Q = [Q1 Q2].
+        dx = Q1 y1 + Q2 y2 with  R' y1 = rhs_E,
+        (G'G) y2 = Q2'(rhs_x + A_C' W^-2 rhs_C) - Q2'A_C'W^-2 A_C Q1 y1,
+            G = W^-1 A_C Q2  (Cholesky, + reg),
+        dz_C = W^-2 (A_C dx - rhs_C),   R dz_E = Q1'(rhs_x - A_C' dz_C).
     """
-    n = A.shape[1]
-    m = A.shape[0]
-    dt = A.dtype
-    K_reg = jnp.zeros((n + m, n + m), dt)
-    K_reg = K_reg.at[:n, :n].set(jnp.eye(n, dtype=dt) * reg_eps)
-    K_reg = K_reg.at[:n, n:].set(A.T)
-    K_reg = K_reg.at[n:, :n].set(A)
-    diag_reg = reg_eps * jnp.ones(m, dt)
-    K_reg = K_reg.at[n:, n:].set(-(w2 + jnp.diag(diag_reg)))
 
-    lu, piv = jax.scipy.linalg.lu_factor(K_reg)
-    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+    def __init__(self, spec, A, reg_eps, cone_mask):
+        self.spec, self.A, self.reg_eps = spec, A, reg_eps
+        self.cone_mask = cone_mask
+        self.n, self.m = A.shape[1], A.shape[0]
+        self.nz = spec.nz
+        A_E = A[: self.nz]
+        # full QR of A_E' (n x nz): Q (n, n), R (n, nz)
+        Q, R = jnp.linalg.qr(A_E.T, mode="complete")
+        self.Q1 = Q[:, : self.nz]
+        self.Q2 = Q[:, self.nz:]
+        self.R = R[: self.nz]
+        self.A_C = A[self.nz:]
 
-    def k0_matvec(v):
-        vx, vz = v[:n], v[n:]
-        return jnp.concatenate([A.T @ vz, A @ vx - w2 @ vz], axis=0)
+    def _winv(self, W, M):
+        """Apply W^-1 to columns of M (cone rows only, (m_C, k))."""
+        if W is None:
+            return M
+        full = jnp.zeros((self.m,) + M.shape[1:], M.dtype)
+        full = full.at[self.nz:].set(M)
+        out = jax.vmap(
+            lambda v: cn.scale(self.spec, W, v, inverse=True),
+            in_axes=1, out_axes=1,
+        )(full.reshape(self.m, -1)).reshape(full.shape)
+        return out[self.nz:]
 
-    for _ in range(2):  # iterative refinement vs the unregularized K0
-        resid = rhs - jnp.concatenate(
-            [A.T @ sol[n:], A @ sol[:n] - w2 @ sol[n:]], axis=0
-        )
-        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), resid)
-    return sol
+    def factor(self, W):
+        G = self._winv(W, self.A_C @ self.Q2)       # (m_C, n - nz)
+        nred = G.shape[1]
+        M = G.T @ G + self.reg_eps * jnp.eye(nred, dtype=G.dtype)
+        L = jnp.linalg.cholesky(M)
+        return (L, W)
+
+    def _solve_once(self, fac, rhs):
+        L, W = fac
+        n, nz = self.n, self.nz
+        rx = rhs[:n]
+        rE = rhs[n: n + nz]
+        rC = rhs[n + nz:]
+        # y1 from the equality rows: R' y1 = rE
+        y1 = jax.scipy.linalg.solve_triangular(
+            self.R.T, rE, lower=True)
+        WirC = self._winv(W, self._winv(W, rC))     # W^-2 rC
+        t = self.Q2.T @ (rx + self.A_C.T @ WirC)
+        ACQ1y1 = self._winv(W, self._winv(W, self.A_C @ (self.Q1 @ y1)))
+        t = t - self.Q2.T @ (self.A_C.T @ ACQ1y1)
+        y2 = jax.scipy.linalg.cho_solve((L, True), t)
+        dx = self.Q1 @ y1 + self.Q2 @ y2
+        dzC = self._winv(W, self._winv(W, self.A_C @ dx)) - WirC
+        dzE = jax.scipy.linalg.solve_triangular(
+            self.R, self.Q1.T @ (rx - self.A_C.T @ dzC), lower=False)
+        return jnp.concatenate([dx, dzE, dzC], axis=0)
+
+    def solve(self, fac, rhs):
+        W = fac[1]
+        sol = self._solve_once(fac, rhs)
+        n = self.n
+        for _ in range(2):  # refinement vs the exact operator
+            w2z = (_w2_matvec(self.spec, W, sol[n:], self.cone_mask)
+                   if W is not None else sol[n:] * self.cone_mask[:, None])
+            resid = rhs - jnp.concatenate(
+                [self.A.T @ sol[n:], self.A @ sol[:n] - w2z], axis=0)
+            sol = sol + self._solve_once(fac, resid)
+        return sol
+
+
+_KKT_METHODS = {"lu": _LUKKT, "qrchol": _QRCholKKT}
+
+
+def _pick_kkt_method() -> str:
+    """LU on CPU (fastest dense path); QR+Cholesky elsewhere (the TPU
+    compiler rejects f64 LU)."""
+    return "lu" if jax.default_backend() == "cpu" else "qrchol"
 
 
 def _lambda_min(spec: ConeSpec, v):
@@ -155,7 +255,7 @@ def _shift_interior(spec: ConeSpec, v, margin=1.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "max_iter", "kkt_solve")
+    jax.jit, static_argnames=("spec", "max_iter", "kkt_method")
 )
 def solve(
     A: jnp.ndarray,
@@ -166,7 +266,7 @@ def solve(
     tol: float = 1e-8,
     tol_almost: float = 1e-5,
     max_iter: int = 50,
-    kkt_solve: Optional[Callable] = None,
+    kkt_method: Optional[str] = None,
 ) -> IPMSolution:
     """Solve  min c'x  s.t.  Ax + s = b, s in K.  Jittable; vmap over
     (A, b, c) for batched solves (spec must be shared across the batch)."""
@@ -180,14 +280,13 @@ def solve(
     cone_mask = jnp.asarray(spec.cone_mask(), dt)
     e = cn.identity_elem(spec, dtype=dt)
     deg = spec.degree
-    if kkt_solve is None:
-        kkt_solve = _dense_kkt_solve
+    kkt = _KKT_METHODS[kkt_method or _pick_kkt_method()](
+        spec, A, reg_eps, cone_mask)
 
     norm_b = jnp.maximum(1.0, jnp.linalg.norm(b, jnp.inf))
     norm_c = jnp.maximum(1.0, jnp.linalg.norm(c, jnp.inf))
 
     # ---------------- initialization (conelp-style) ----------------
-    w2_id = jnp.diag(cone_mask)  # W = I on cone rows, 0 block on zero rows
     rhs0 = jnp.stack(
         [
             jnp.concatenate([jnp.zeros(n, dt), b]),
@@ -195,7 +294,7 @@ def solve(
         ],
         axis=1,
     )
-    sol0 = kkt_solve(A, w2_id, reg_eps, zero_mask, rhs0)
+    sol0 = kkt.solve(kkt.factor(None), rhs0)  # W = I on cone rows
     x0 = sol0[:n, 0]
     s0 = _shift_interior(spec, -sol0[n:, 0] * cone_mask)
     z0 = _shift_interior(spec, sol0[n:, 1])
@@ -271,10 +370,10 @@ def solve(
         W = cn.nt_scaling(spec, st.s, st.z)
         lam = cn.lambda_vec(spec, W, st.z)
 
-        # KKT with current W^2; two constant RHS columns solved together:
+        # KKT with current W; two constant RHS columns solved together:
         #   col 0: [-c; b]            (tau-elimination direction u)
         #   col 1..: residual-driven directions, per predictor/corrector
-        w2 = cn.w2_dense(spec, W, dtype=dt)
+        fac = kkt.factor(W)
 
         def directions(sigma, eta_corr, dkap_corr):
             """Solve for (dx, dz, ds, dtau, dkappa) for a combined target:
@@ -296,7 +395,7 @@ def solve(
                 ],
                 axis=1,
             )
-            sol = kkt_solve(A, w2, reg_eps, zero_mask, rhs)
+            sol = kkt.solve(fac, rhs)
             u1, u2 = sol[:n, 0], sol[n:, 0]
             v1, v2 = sol[:n, 1], sol[n:, 1]
 
@@ -305,7 +404,7 @@ def solve(
             dtau = numer / denom
             dx = u1 * dtau + v1
             dz = u2 * dtau + v2
-            ds = (bs - w2 @ dz) * cone_mask
+            ds = (bs - _w2_matvec(spec, W, dz, cone_mask)) * cone_mask
             dkap = (d_kap - st.kappa * dtau) / st.tau
             return dx, dz, ds, dtau, dkap
 

@@ -27,6 +27,7 @@ Algorithmic parity (ptr.jl):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import time
 from typing import Callable, Optional
@@ -326,6 +327,43 @@ class PTR:
             xd=xd, ud=ud, p=p, cost=float(out["J_orig"]),
             t_grid=self.t_np.copy(), feas=bool(out["feas"]),
             history=history, t_cont=np.asarray(ts), x_cont=np.asarray(xs))
+
+
+    # ------------------------------------------------------------------
+
+    def solve_batched(self, bx, bu, bp, n_iters: int):
+        """Fixed-iteration batched PTR: `lax.scan` over iterations of the
+        vmapped step — ONE device program solving a whole scenario batch
+        (the "batched SCP solves" north star; the reference's trials loop,
+        quadrotor tests.jl:160-202, re-solves serially).
+
+        bx (B,N,nx), bu (B,N,nu), bp (B,np). Returns the final iteration's
+        outputs per scenario plus per-iteration (feas, deviation, improv_rel)
+        traces. Early stopping is not applied (all scenarios run n_iters;
+        converged ones sit at a fixed point, ptr.jl always-accept)."""
+        return self._solve_batched(bx, bu, bp, n_iters)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _solve_batched(self, bx, bu, bp, n_iters):
+        B = bx.shape[0]
+        bdltv = jax.vmap(self._discretize)(bx, bu, bp)
+        bJ = jnp.full((B,), jnp.inf, self.dtype)
+
+        def body(carry, _):
+            x, u, p, dltv, J = carry
+            out = jax.vmap(self._step_impl)(x, u, p, dltv, J)
+            trace = dict(feas=out["feas"], deviation=out["deviation"],
+                         improv_rel=out["improv_rel"], J_aug=out["J_aug"])
+            return ((out["x"], out["u"], out["p"], out["dltv"],
+                     out["J_aug"]), trace)
+
+        (x, u, p, dltv, J), traces = jax.lax.scan(
+            body, (bx, bu, bp, bdltv, bJ), None, length=n_iters)
+        defect = jnp.max(
+            jnp.abs(dltv.defects / self.scaling.Sx[None, None, :]),
+            axis=(1, 2))
+        return dict(x=x, u=u, p=p, J_aug=J, feas=defect <= self.pars.feas_tol,
+                    defect_norm=defect, traces=traces)
 
 
 def solve(pbm: TrajectoryProblem, pars: PTRParameters,

@@ -17,6 +17,9 @@ class Column:
     def __init__(self, key: str, heading: str, fmt: str, width: Optional[int] = None):
         self.key = key
         self.heading = heading
+        # accept "{:12.4e}" (str.format), "%12.4e" (printf), or "12.4e" (spec)
+        if fmt.startswith("{:") and fmt.endswith("}"):
+            fmt = fmt[2:-1]
         self.fmt = fmt
         self.width = max(width or 0, len(heading) + 2)
 
