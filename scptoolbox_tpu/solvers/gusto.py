@@ -1,0 +1,507 @@
+"""GuSTO: guaranteed sequential trajectory optimization with soft state
+penalties, exact dynamics, and a soft-penalty-weight ladder (reference
+src/solvers/gusto.jl).
+
+TPU-native structure mirrors PTR/SCvx: ONE traced step with the scalar
+trust-region radius eta AND soft penalty weight lambda as TRACED inputs, so
+the grow/shrink/ladder host logic never re-traces.
+
+Algorithmic parity (gusto.jl):
+  * dynamics and boundary conditions EXACT — no virtual control
+    (`add_dynamics!(relaxed=false)`, gusto.jl:452-454);
+  * nonconvex path constraints s soft-penalized: with pen=:quad the penalty
+    is lambda * max(0, s_lin)^2, realized as slack vs >= max(0, s_lin)
+    with quadratic cost (soft_penalty, gusto.jl:970-995) — the template's
+    (s_lin <= vs, vs >= 0) rows plus a single sqrt(trapz-weight)-scaled
+    quadratic epigraph reproduce it exactly;
+  * soft one-sided trust region: ||dx_hat_k||_q + ||dp_hat||_q <= eta + tr_k
+    with tr_k quad-penalized (trust_region_cost, gusto.jl:1060-1190; q=4
+    squares via SOC+GEOM);
+  * convex state sets X are enforced HARD here (the reference's `force_hard`
+    mode, problem.jl:686-807; the indicator-variable soft mode is a
+    capability gap tracked for a later round);
+  * rho = (|J_aug - L_aug| + dyn_error) / (|L_aug| + dynamics_nrml) with
+    dyn_error = trapz ||f_nl - f_lin|| at the solution (gusto.jl:1245-1293);
+  * update rule gusto.jl:1310-1427: trust-region violation -> reject + grow
+    lambda by gamma_fail; rho < rho_0 grow eta; rho < rho_1 hold; else
+    shrink + reject; lambda resets to lambda_init when constraints feasible;
+    kappa = mu^(1 + iter - iter_mu) forced trust-region decay
+    (gusto.jl:264);
+  * stop when iter > 1 and ((feas and (dJ_rel <= eps_rel or deviation <=
+    eps_abs)) or lambda > lambda_max) (gusto.jl:1203-1230).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scptoolbox_tpu.config import SCPStatus, default_dtype
+from scptoolbox_tpu.ops import ipm
+from scptoolbox_tpu.ops.discretize import DiscretizationType, discretize, propagate
+from scptoolbox_tpu.parser.problem import ConeKind, TrajectoryProblem
+from scptoolbox_tpu.solvers.projection import project_convex
+from scptoolbox_tpu.solvers.scaling import compute_scaling
+from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
+from scptoolbox_tpu.solvers.subproblem import Assembler
+from scptoolbox_tpu.solvers.template import BlockPoster, SCPTemplate
+from scptoolbox_tpu.utils.table import Column, Table
+
+
+@dataclasses.dataclass(frozen=True)
+class GuSTOParameters:
+    """GuSTO algorithm parameters (reference gusto.jl:58-85; defaults from
+    the quadrotor test configuration, quadrotor/tests.jl:89-115)."""
+
+    N: int = 30
+    Nsub: int = 15
+    iter_max: int = 15
+    disc_method: DiscretizationType = DiscretizationType.FOH
+    lam_init: float = 1e4
+    lam_max: float = 1e9
+    rho_0: float = 0.1
+    rho_1: float = 0.9
+    beta_sh: float = 2.0
+    beta_gr: float = 2.0
+    gamma_fail: float = 5.0
+    eta_init: float = 10.0
+    eta_lb: float = 1e-3
+    eta_ub: float = 10.0
+    mu: float = 0.8
+    iter_mu: int = 6
+    eps_abs: float = 1e-5
+    eps_rel: float = 1e-4
+    feas_tol: float = 1e-3
+    pen: str = "quad"          # :softplus (EXP cones) is a later round
+    hom: float = 100.0
+    q_tr: float = math.inf
+    q_exit: float = math.inf
+    ipm_tol: float = 1e-8
+    ipm_max_iter: int = 60
+    project_guess: bool = True
+    tr_buffer: float = 1e-3
+    c_buffer: float = 1e-3
+
+
+_Q2KIND = {1.0: ConeKind.L1, 2.0: ConeKind.SOC, 4.0: ConeKind.SOC,
+           math.inf: ConeKind.LINF}
+
+
+def _pnorm(v, q):
+    if q == math.inf:
+        return jnp.max(jnp.abs(v), axis=-1)
+    if q == 4.0:
+        return jnp.sum(v * v, axis=-1)  # squared 2-norm (gusto w=2 branch)
+    return jnp.sum(jnp.abs(v) ** q, axis=-1) ** (1.0 / q)
+
+
+class GuSTO:
+    """GuSTO solver bound to one TrajectoryProblem (reference `GuSTO.create`
+    + `GuSTO.solve`, gusto.jl:425-502)."""
+
+    def __init__(self, pbm: TrajectoryProblem, pars: GuSTOParameters,
+                 dtype=None):
+        assert pars.pen == "quad", "softplus EXP-cone penalty not yet built"
+        self.pbm = pbm
+        self.pars = pars
+        self.dtype = dtype or default_dtype()
+        N = pars.N
+        nx, npp = pbm.nx, pbm.np
+        self.t_np = np.linspace(0.0, 1.0, N)
+        tmpl = SCPTemplate(pbm, N, self.t_np, relax_dynamics=False,
+                           relax_bcs=False, dtype=self.dtype)
+        lay, plan = tmpl.layout, tmpl.plan
+
+        q = pars.q_tr
+        kind = _Q2KIND[float(q)]
+        lay.add("dx_lq", N)
+        self._tr_x = BlockPoster("tr_x", kind, 1 + nx, N, lay, plan)
+        if npp > 0:
+            lay.add("dp_lq")
+            self._tr_p = BlockPoster("tr_p", kind, 1 + npp, 1, lay, plan)
+        lay.add("tr", N)        # one-sided trust-region slack
+        lay.add("v_tr", N)      # v_tr >= max(0, tr)
+        plan.nonneg("v_tr_nn", N)
+        plan.nonneg("v_tr_ge", N)
+        self._nsum = 1 + (1 if npp > 0 else 0)
+        if q == 4.0:
+            lay.add("w_tr", N)
+            plan.soc("tr_w", N, 1 + self._nsum)
+            plan.soc("tr_geom", N, 3)
+        else:
+            plan.nonneg("tr_bound", N)
+        # single quadratic epigraph for the lambda-weighted penalties
+        n_pen = N + (N * tmpl.struct.ns if tmpl.struct.ns else 0)
+        lay.add("t_pen")
+        plan.soc("pen_epi", 1, n_pen + 2)
+        self.spec = tmpl.freeze()
+        self.tmpl = tmpl
+
+        xg, ug, pg = pbm.guess(N)
+        self._guess = (jnp.asarray(xg, self.dtype),
+                       jnp.asarray(ug, self.dtype),
+                       jnp.asarray(pg, self.dtype))
+        self.scaling = compute_scaling(pbm, *self._guess)
+        self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
+        self._E = jnp.eye(nx, dtype=self.dtype)
+
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+
+    def _discretize(self, x, u, p):
+        return discretize(
+            self.pbm.f, x, u, p, jnp.asarray(self.t_np, self.dtype), self._E,
+            nsub=self.pars.Nsub, method=self.pars.disc_method,
+            jac=self.pbm.jac, impulse=self.pbm.impulse,
+            actions=self.pbm.integration_actions)
+
+    def _post_trust_region(self, asm, ref_x, ref_p, eta):
+        """Soft one-sided trust region (gusto.jl:1060-1190)."""
+        tmpl, pars = self.tmpl, self.pars
+        lay, plan = tmpl.layout, tmpl.plan
+        N, nx, npp = pars.N, self.pbm.nx, self.pbm.np
+        dt = self.dtype
+        sc = self.scaling
+
+        def post_eps(poster, z_idx, lq_idx, iS, z_ref, count, nz):
+            cols = np.concatenate(
+                [np.asarray(z_idx).reshape(count, nz),
+                 np.asarray(lq_idx).reshape(count, 1)], axis=1)
+            J = jnp.zeros((count, 1 + nz, nz + 1), dt)
+            J = J.at[:, 0, nz].set(1.0)
+            J = J.at[:, 1:, :nz].set(
+                jnp.broadcast_to(jnp.diag(iS), (count, nz, nz)))
+            v0 = jnp.concatenate(
+                [jnp.zeros((count, 1), dt), -z_ref * iS[None, :]], axis=1)
+            poster.post(asm, plan, lay, cols, J, v0)
+
+        post_eps(self._tr_x, lay.idx("x"), lay.idx("dx_lq"),
+                 1.0 / sc.Sx, ref_x, N, nx)
+        if npp > 0:
+            post_eps(self._tr_p, lay.idx("p")[None, :],
+                     lay.idx("dp_lq").reshape(1, 1), 1.0 / sc.Sp,
+                     ref_p[None, :], 1, npp)
+
+        lq_cols = [np.asarray(lay.idx("dx_lq")).reshape(N, 1)]
+        if npp > 0:
+            lq_cols.append(
+                np.broadcast_to(np.asarray(lay.idx("dp_lq")).reshape(1, 1),
+                                (N, 1)))
+        nsum = len(lq_cols)
+        tr_cols = np.asarray(lay.idx("tr")).reshape(N, 1)
+        if pars.q_tr == 4.0:
+            w_cols = np.asarray(lay.idx("w_tr")).reshape(N, 1)
+            cw = np.concatenate(lq_cols + [w_cols], axis=1)
+            J = jnp.zeros((N, nsum + 1, nsum + 1), dt)
+            J = J.at[:, 0, nsum].set(1.0)
+            for i in range(nsum):
+                J = J.at[:, 1 + i, i].set(1.0)
+            asm.res_soc(plan.rows("tr_w"), cw, J,
+                        jnp.zeros((N, nsum + 1), dt))
+            # GEOM(w, eta + tr, 1): (eta+tr) >= w^2 ->
+            # SOC [eta+tr+1, 2w, eta+tr-1]
+            rows = plan.rows("tr_geom")
+            cg = np.concatenate([w_cols, tr_cols], axis=1)
+            Jg = jnp.zeros((N, 3, 2), dt)
+            Jg = Jg.at[:, 0, 1].set(1.0)
+            Jg = Jg.at[:, 1, 0].set(2.0)
+            Jg = Jg.at[:, 2, 1].set(1.0)
+            v0g = jnp.broadcast_to(
+                jnp.stack([eta + 1.0, jnp.zeros_like(eta), eta - 1.0]),
+                (N, 3)).astype(dt)
+            asm.res_soc(rows, cg, Jg, v0g)
+        else:
+            rows = plan.rows("tr_bound").reshape(N, 1)
+            cols = np.concatenate(lq_cols + [tr_cols], axis=1)
+            J = jnp.concatenate(
+                [jnp.ones((N, 1, nsum), dt), -jnp.ones((N, 1, 1), dt)],
+                axis=2)
+            asm.add_A(rows, cols, J)
+            asm.add_b(rows, jnp.full((N, 1), eta, dt))
+
+        # v_tr >= tr, v_tr >= 0
+        vtr = np.asarray(lay.idx("v_tr")).reshape(N, 1)
+        r = plan.rows("v_tr_nn").reshape(N, 1)
+        asm.add_A(r, vtr, -jnp.ones((N, 1, 1), dt))
+        r = plan.rows("v_tr_ge").reshape(N, 1)
+        asm.add_A(r, np.concatenate([tr_cols, vtr], axis=1),
+                  jnp.broadcast_to(jnp.asarray([1.0, -1.0], dt), (N, 1, 2)))
+
+    def _assemble(self, ref_x, ref_u, ref_p, dltv, eta, lam):
+        tmpl, pars = self.tmpl, self.pars
+        lay, plan = tmpl.layout, tmpl.plan
+        N = pars.N
+        ns = tmpl.struct.ns
+        dt = self.dtype
+        asm = Assembler(tmpl.m, tmpl.n, dt)
+        tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv)
+        self._post_trust_region(asm, ref_x, ref_p, eta)
+
+        # single quadratic epigraph: t_pen >= sum_k w_k v_tr_k^2
+        #                                   + sum_{k,i} w_k vs_{k,i}^2
+        w = jnp.asarray(tmpl.w_trapz, dt)
+        sw = jnp.sqrt(w)
+        pen_cols = [np.asarray(lay.idx("v_tr")).reshape(N)]
+        pen_scale = [sw]
+        if ns:
+            pen_cols.append(np.asarray(lay.idx("vs")).reshape(N * ns))
+            pen_scale.append(jnp.repeat(sw, ns))
+        cols = np.concatenate(pen_cols)
+        scale_v = jnp.concatenate(pen_scale)
+        n_pen = cols.shape[0]
+        # SOC [t+1/2, t-1/2, diag(scale) v]
+        rows = plan.rows("pen_epi")
+        t_col = np.asarray(lay.idx("t_pen")).reshape(1)
+        cw = np.concatenate([cols, t_col])[None, :]
+        J = jnp.zeros((1, n_pen + 2, n_pen + 1), dt)
+        J = J.at[0, 0, n_pen].set(1.0)
+        J = J.at[0, 1, n_pen].set(1.0)
+        J = J.at[0, 2:, :n_pen].set(jnp.diag(scale_v))
+        v0 = jnp.concatenate(
+            [jnp.asarray([0.5, -0.5], dt), jnp.zeros(n_pen, dt)])[None, :]
+        asm.res_soc(rows, cw, J, v0)
+        asm.add_c(t_col, jnp.asarray([lam], dt))
+
+        return asm.finish(self._S_full, self._c_full)
+
+    def _nonlinear_state_penalty(self, x, u, p, lam):
+        """state_penalty_cost(:nonconvex) (gusto.jl:845-865) with pen=quad."""
+        tmpl = self.tmpl
+        dt = self.dtype
+        N = self.pars.N
+        w = jnp.asarray(tmpl.w_trapz, dt)
+        pen = jnp.zeros((), dt)
+        if tmpl.struct.ns:
+            ts = jnp.asarray(self.t_np, dt)
+            ks = jnp.arange(N)
+            sval = jax.vmap(lambda t, k, xx, uu: self.pbm.s(t, k, xx, uu, p)
+                            )(ts, ks, x, u)
+            pen = pen + lam * (w @ jnp.sum(jnp.maximum(sval, 0.0) ** 2,
+                                           axis=1))
+        return pen
+
+    def _dyn_error(self, ref_x, ref_u, ref_p, x, u, p):
+        """Dynamics linearization error at the solution (gusto.jl:1268-1284)."""
+        dt = self.dtype
+        ts = jnp.asarray(self.t_np, dt)
+        ks = jnp.arange(self.pars.N)
+
+        def per_node(t, k, xb, ub, xk, uk):
+            f_ref = self.pbm.f(t, xb, ub, ref_p)
+            A, B, F = jax.jacfwd(self.pbm.f, argnums=(1, 2, 3))(
+                t, xb, ub, ref_p)
+            f_lin = (f_ref + A @ (xk - xb) + B @ (uk - ub)
+                     + (F @ (p - ref_p) if self.pbm.np > 0 else 0.0))
+            f_nl = self.pbm.f(t, xk, uk, p)
+            return jnp.linalg.norm(f_nl - f_lin), jnp.linalg.norm(f_lin)
+
+        df, dxdt = jax.vmap(per_node)(ts, ks, ref_x, ref_u, x, u)
+        w = jnp.asarray(self.tmpl.w_trapz, dt)
+        return w @ df, w @ dxdt
+
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta, lam):
+        """One full GuSTO iteration on device (eta, lam traced)."""
+        pars, tmpl = self.pars, self.tmpl
+        sc = self.scaling
+        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam)
+        sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
+                        max_iter=pars.ipm_max_iter)
+        d = self._S_full * sol.x + self._c_full
+        x, u, p = tmpl.extract(d)
+        L = tmpl.original_cost(x, u, p)
+        L_aug = sol.obj + const
+        # J_tr: the convex trust-region penalty value at the solution
+        lay = tmpl.layout
+        v_tr = d[lay.sl("v_tr")]
+        w = jnp.asarray(tmpl.w_trapz, self.dtype)
+        J_tr = lam * (w @ v_tr ** 2)
+        J_aug = (L + self._nonlinear_state_penalty(x, u, p, lam) + J_tr)
+
+        dltv_new = self._discretize(x, u, p)
+        defect_norm = jnp.max(jnp.abs(dltv_new.defects / sc.Sx[None, :]))
+        feas = defect_norm <= pars.feas_tol
+
+        q = pars.q_exit
+        dx = jnp.max(_pnorm((x - ref_x) / sc.Sx[None, :], q))
+        dp = (_pnorm((p - ref_p) / sc.Sp, q) if self.pbm.np > 0
+              else jnp.zeros((), self.dtype))
+        deviation = dx + dp
+
+        # rho ingredients (gusto.jl:1245-1293)
+        dyn_err, dyn_nrml = self._dyn_error(ref_x, ref_u, ref_p, x, u, p)
+        cost_error = jnp.abs(J_aug - L_aug)
+        rho = (cost_error + dyn_err) / (jnp.abs(L_aug) + dyn_nrml)
+
+        # trust-region LHS at the solution (for trust_viol, gusto.jl:1358)
+        qq = pars.q_tr
+        dxs = _pnorm((x - ref_x) / sc.Sx[None, :], qq)
+        dps = (_pnorm((p - ref_p) / sc.Sp, qq) if self.pbm.np > 0
+               else jnp.zeros((), self.dtype))
+        tr_lhs_max = jnp.max(dxs + dps) - eta
+
+        # constraint satisfaction (for the lambda ladder, gusto.jl:1365-1395)
+        viol = jnp.zeros((), self.dtype)
+        if tmpl.struct.ns:
+            ts = jnp.asarray(self.t_np, self.dtype)
+            ks = jnp.arange(pars.N)
+            sval = jax.vmap(lambda t, k, xx, uu: self.pbm.s(t, k, xx, uu, p)
+                            )(ts, ks, x, u)
+            viol = jnp.max(sval)
+
+        return dict(
+            x=x, u=u, p=p, dltv=dltv_new, L=L, L_aug=L_aug, J_aug=J_aug,
+            feas=feas, deviation=deviation, defect_norm=defect_norm,
+            rho=rho, tr_lhs_max=tr_lhs_max, viol=viol,
+            ipm_status=sol.status, ipm_iters=sol.iters)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _ref_J_aug(self, x, u, p, lam):
+        dltv = self._discretize(x, u, p)
+        return (self.tmpl.original_cost(x, u, p)
+                + self._nonlinear_state_penalty(x, u, p, lam)), dltv
+
+    # ------------------------------------------------------------------
+
+    def solve(self, warm: Optional[SCPSolution] = None,
+              verbose: bool = False) -> SCPSolution:
+        """Run the GuSTO loop (reference gusto.jl:425-502)."""
+        pars = self.pars
+        table = Table([
+            Column("iter", "iter", "{:4d}"),
+            Column("L", "J", "{:11.4e}"),
+            Column("J_aug", "J_aug", "{:11.4e}"),
+            Column("defect", "defect", "{:9.2e}"),
+            Column("rho", "rho", "{:8.2e}"),
+            Column("eta", "eta", "{:8.1e}"),
+            Column("lam", "lambda", "{:8.1e}"),
+            Column("upd", "upd", "{:>4s}"),
+            Column("ipm", "ipm", "{:4d}"),
+        ]) if verbose else None
+
+        if warm is not None:
+            ref = (jnp.asarray(warm.xd, self.dtype),
+                   jnp.asarray(warm.ud, self.dtype),
+                   jnp.asarray(warm.p, self.dtype))
+        else:
+            ref = self._guess
+            if pars.project_guess:
+                ref = project_convex(self.pbm, self.scaling, *ref,
+                                     t_grid=self.t_np, dtype=self.dtype)
+        lam = pars.lam_init
+        eta = pars.eta_init
+        J_ref, dltv = self._ref_J_aug(*ref, jnp.asarray(lam, self.dtype))
+        J_ref = float(J_ref)
+
+        history = []
+        status = SCPStatus.FAILED
+        out = None
+        best = None
+        n_iter = 0
+        for it in range(pars.iter_max):
+            t0 = time.perf_counter()
+            kappa = (1.0 if (it + 1) < pars.iter_mu
+                     else pars.mu ** (1 + (it + 1) - pars.iter_mu))
+            out = self._step(*ref, dltv, jnp.asarray(eta, self.dtype),
+                             jnp.asarray(lam, self.dtype))
+            n_iter = it + 1
+            feas = bool(out["feas"])
+            deviation = float(out["deviation"])
+            J_sol = float(out["J_aug"])
+            rho = float(out["rho"])
+            trust_viol = float(out["tr_lhs_max"]) > pars.tr_buffer
+            constr_ok = float(out["viol"]) <= pars.c_buffer
+            dJ_rel = abs(J_ref - J_sol) / abs(J_ref) if J_ref != 0 else 0.0
+
+            # update rule (gusto.jl:1310-1427)
+            upd = ""
+            if trust_viol:
+                accept = False
+                eta_next = eta
+                lam_next = pars.gamma_fail * lam
+                upd = "lG"
+            elif rho < pars.rho_0:
+                accept = True
+                eta_next = min(pars.eta_ub, pars.beta_gr * eta)
+                lam_next = pars.lam_init if constr_ok else pars.gamma_fail * lam
+                upd = "G" + ("" if constr_ok else " lG")
+            elif rho < pars.rho_1:
+                accept = True
+                eta_next = eta
+                lam_next = pars.lam_init if constr_ok else pars.gamma_fail * lam
+                upd = "" if constr_ok else "lG"
+            else:
+                accept = False
+                eta_next = max(pars.eta_lb, eta / pars.beta_sh)
+                lam_next = lam
+                upd = "S"
+            eta_next *= kappa
+
+            rec = IterationRecord(
+                iteration=n_iter,
+                x=np.asarray(out["x"]), u=np.asarray(out["u"]),
+                p=np.asarray(out["p"]),
+                J_aug=J_sol, J_orig=float(out["L"]), feas=feas,
+                deviation=deviation, improv_rel=dJ_rel,
+                ipm_status=int(out["ipm_status"]),
+                ipm_iters=int(out["ipm_iters"]),
+                defect_norm=float(out["defect_norm"]),
+                vd_norm=0.0, vs_norm=0.0,
+                timing={"total": time.perf_counter() - t0},
+                extras={"rho": rho, "eta": eta, "lam": lam,
+                        "reject": not accept})
+            history.append(rec)
+            if table:
+                table.print_row(dict(
+                    iter=n_iter, L=rec.J_orig, J_aug=J_sol,
+                    defect=rec.defect_norm, rho=rho, eta=eta, lam=lam,
+                    upd=upd + ("" if accept else "!"),
+                    ipm=rec.ipm_iters))
+
+            infeasible = lam > pars.lam_max
+            stop = (it > 0 and ((feas and (dJ_rel <= pars.eps_rel
+                                           or deviation <= pars.eps_abs))
+                                or infeasible))
+            if self.pbm.callback is not None:
+                if self.pbm.callback(rec):
+                    stop = False
+            if accept:
+                ref = (out["x"], out["u"], out["p"])
+                dltv = out["dltv"]
+                J_ref = J_sol
+                best = out
+            eta, lam = eta_next, lam_next
+            if stop:
+                status = (SCPStatus.SOLVED if not infeasible
+                          else SCPStatus.FAILED)
+                break
+
+        final = best if best is not None else out
+        xd = np.asarray(final["x"])
+        ud = np.asarray(final["u"])
+        p = np.asarray(final["p"])
+        ts, xs = propagate(
+            self.pbm.f, final["x"][0], final["u"], final["p"],
+            jnp.asarray(self.t_np, self.dtype),
+            nsub=2 * pars.Nsub, method=pars.disc_method,
+            impulse=self.pbm.impulse, actions=self.pbm.integration_actions)
+        return SCPSolution(
+            status=status, algorithm="gusto", iterations=n_iter,
+            xd=xd, ud=ud, p=p, cost=float(final["L"]),
+            t_grid=self.t_np.copy(), feas=bool(final["feas"]),
+            history=history, t_cont=np.asarray(ts), x_cont=np.asarray(xs))
+
+
+def solve(pbm: TrajectoryProblem, pars: GuSTOParameters,
+          warm: Optional[SCPSolution] = None,
+          verbose: bool = False) -> SCPSolution:
+    """Convenience one-shot GuSTO solve (reference `GuSTO.solve`,
+    gusto.jl:425)."""
+    return GuSTO(pbm, pars).solve(warm=warm, verbose=verbose)

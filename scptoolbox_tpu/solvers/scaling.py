@@ -47,25 +47,29 @@ class Scaling(NamedTuple):
         return self.Sp * p_hat + self.cp
 
 
-def _ranges(adv: Optional[BoundingBox], lo_fallback, hi_fallback, eps=1e-8):
-    lo = jnp.asarray(adv.lo) if adv is not None else lo_fallback
-    hi = jnp.asarray(adv.hi) if adv is not None else hi_fallback
+def _ranges(adv: Optional[BoundingBox], dim, dtype, eps=1e-8):
+    """Advice range, else the reference's default [0, 1] bounding box
+    (scp.jl:398-403: bbox initialized to [0, 1]; variables whose min/max LPs
+    are unbounded keep it), i.e. S = 1, c = 0."""
+    if adv is None:
+        return jnp.ones(dim, dtype), jnp.zeros(dim, dtype)
+    lo = jnp.asarray(adv.lo, dtype)
+    hi = jnp.asarray(adv.hi, dtype)
     S = hi - lo
-    S = jnp.where(S < eps, jnp.maximum(jnp.abs(hi), 1.0), S)
+    # degenerate (zero-width) intervals scale by 1 (scp.jl zero_intvl_tol)
+    S = jnp.where(S < eps, 1.0, S)
     return S, lo
 
 
 def compute_scaling(
     pbm: TrajectoryProblem, x_guess, u_guess, p_guess
 ) -> Scaling:
-    """Build the diagonal scaling from advice, falling back to guess ranges
-    (reference scp.jl:376-517, advice path problem.jl:263-283)."""
-    pad = 0.0
-    xlo = jnp.min(x_guess, axis=0) - pad
-    xhi = jnp.max(x_guess, axis=0) + pad
-    ulo = jnp.min(u_guess, axis=0) - pad
-    uhi = jnp.max(u_guess, axis=0) + pad
-    Sx, cx = _ranges(pbm.xrg, xlo, xhi)
-    Su, cu = _ranges(pbm.urg, ulo, uhi)
-    Sp, cp = _ranges(pbm.prg, p_guess, p_guess)
+    """Build the diagonal scaling from advice, with the reference's [0, 1]
+    default for unadvised variables (scp.jl:376-517; advice path
+    problem.jl:263-283). The reference's per-variable min/max LP auto-scaling
+    is available separately (solvers/autoscale.py)."""
+    dt = x_guess.dtype
+    Sx, cx = _ranges(pbm.xrg, pbm.nx, dt)
+    Su, cu = _ranges(pbm.urg, pbm.nu, dt)
+    Sp, cp = _ranges(pbm.prg, pbm.np, dt)
     return Scaling(Sx=Sx, cx=cx, Su=Su, cu=cu, Sp=Sp, cp=cp)
