@@ -1,9 +1,18 @@
 """Scalar optimization by golden-section search.
 
-Capability parity with reference src/utils/helper.jl `golden` (:291-331),
+Behavioral parity with reference src/utils/helper.jl `golden` (:291-331),
 used by the LCvx rocket-landing example to minimize cost over flight time
 (rocket_landing/tests.jl:33). Host-side loop by design: each probe typically
 launches a full jitted conic solve.
+
+The reference's bracketing rule is deliberately NONSTANDARD: on rejection it
+swaps `a, b = b, c` (reversing the interval and keeping the incumbent `d`)
+instead of the textbook monotone shrink. For objectives that are +inf outside
+an interior feasible window — exactly the rocket-landing cost, where both
+initial probes of the canonical bracket are infeasible — the oscillating
+bracket re-enters and converges into the window, while the textbook variant
+discards it. We reproduce that semantic and additionally return the best of
+ALL probed points (a strict improvement; the reference returns f(b)).
 """
 
 from __future__ import annotations
@@ -11,8 +20,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Tuple
 
-_INVPHI = (math.sqrt(5.0) - 1.0) / 2.0  # 1/phi
-_INVPHI2 = (3.0 - math.sqrt(5.0)) / 2.0  # 1/phi^2
+_PHI = (1.0 + math.sqrt(5.0)) / 2.0
 
 
 def golden(
@@ -21,41 +29,39 @@ def golden(
     b: float,
     tol: float = 1e-3,
 ) -> Tuple[float, float]:
-    """Minimize unimodal f on [a, b] to interval tolerance `tol`.
+    """Minimize f on [a, b] to bracket tolerance `tol`.
 
-    Returns (x_best, f(x_best)). Approximately log_phi((b-a)/tol) function
-    evaluations (reference helper.jl:291-331).
+    Returns (x_best, f(x_best)) over all probed points. Performs
+    ceil(log_phi((b-a)/tol) + 1) + 1 function evaluations
+    (reference helper.jl:291-331).
     """
     a, b = float(a), float(b)
-    h = b - a
-    if h <= tol:
-        x = (a + b) / 2.0
+    if abs(b - a) <= tol:
+        x = 0.5 * (a + b)
         return x, f(x)
 
-    n = int(math.ceil(math.log(tol / h) / math.log(_INVPHI)))
-    c = a + _INVPHI2 * h
-    d = a + _INVPHI * h
-    yc = f(c)
-    yd = f(d)
+    n = int(math.ceil(math.log((b - a) / tol) / math.log(_PHI) + 1.0))
+    rho = _PHI - 1.0
+    best_x, best_y = math.nan, math.inf
+
+    def probe(x):
+        nonlocal best_x, best_y
+        y = f(x)
+        if y < best_y or math.isnan(best_x):
+            best_x, best_y = x, y
+        return y
+
+    d = rho * b + (1.0 - rho) * a
+    yd = probe(d)
     for _ in range(n - 1):
+        c = rho * a + (1.0 - rho) * b
+        yc = probe(c)
         if yc < yd:
             b, d, yd = d, c, yc
-            h *= _INVPHI
-            c = a + _INVPHI2 * h
-            yc = f(c)
         else:
-            a, c, yc = c, d, yd
-            h *= _INVPHI
-            d = a + _INVPHI * h
-            yd = f(d)
-    if yc < yd:
-        x = (a + d) / 2.0
-    else:
-        x = (c + b) / 2.0
-    y = f(x)
-    # return the best of everything probed
-    if yc < y:
-        x, y = c, yc
-    if yd < y:
-        x, y = d, yd
-    return x, y
+            a, b = b, c
+
+    y_final = probe(b)
+    if y_final <= best_y:
+        return b, y_final
+    return best_x, best_y
