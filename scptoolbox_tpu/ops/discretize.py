@@ -104,6 +104,7 @@ def discretize(
     jac: Optional[Callable] = None,
     impulse: Optional[Callable] = None,
     actions: Optional[Callable] = None,
+    consts=None,
 ) -> DLTV:
     """Linearize/discretize dx/dt = f(t, x, u, p) about a reference.
 
@@ -129,6 +130,12 @@ def discretize(
     Returns a DLTV. defects[k] = x_ref[k+1] - xprop[k]; feasibility is
     decided by the caller under its scaling (reference discretization.jl:205).
     """
+    from scptoolbox_tpu.parser.problem import bind_consts
+
+    f = bind_consts(f, consts)
+    jac = bind_consts(jac, consts)
+    impulse = bind_consts(impulse, consts)
+    actions = bind_consts(actions, consts)
     x_ref = jnp.asarray(x_ref)
     u_ref = jnp.asarray(u_ref)
     p_ref = jnp.asarray(p_ref)
@@ -241,6 +248,7 @@ def propagate(
     method: DiscretizationType = DiscretizationType.FOH,
     impulse: Optional[Callable] = None,
     actions: Optional[Callable] = None,
+    consts=None,
 ):
     """Continuous-time closed-loop replay of a converged solution
     (reference discretization.jl:515-562 `propagate`).
@@ -249,6 +257,11 @@ def propagate(
     inputs (FOH) or per-interval coasting after impulses (IMPULSE). Returns
     (ts, xs): a (N-1)*nsub+1 fine grid and states on it.
     """
+    from scptoolbox_tpu.parser.problem import bind_consts
+
+    f = bind_consts(f, consts)
+    impulse = bind_consts(impulse, consts)
+    actions = bind_consts(actions, consts)
     u_ref = jnp.asarray(u_ref)
     t_grid = jnp.asarray(t_grid)
     N = t_grid.shape[0]

@@ -23,13 +23,43 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+import functools
+import inspect
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from scptoolbox_tpu.ops.discretize import DiscretizationType
+
+
+def wants_consts(fn: Optional[Callable]) -> bool:
+    """True when a problem callback declares a trailing `consts` parameter
+    (the opt-in for receiving TrajectoryProblem.consts as a traced input)."""
+    if fn is None:
+        return False
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    return "consts" in sig.parameters
+
+
+def bind_consts(fn: Optional[Callable], consts) -> Optional[Callable]:
+    """Bind the traced `consts` pytree into a callback that asks for it
+    (keyword `consts`); callbacks that don't declare it are returned as-is.
+
+    This is the TPU-native replacement for the reference's mutable
+    `pbm.mdl` model object that user closures read at call time (e.g. the
+    homotopy sharpness `traj.kappa1` mutated between solves,
+    oscillator/tests.jl:64-72, rendezvous_3d definition.jl:96-148): here
+    such values are a pytree passed as a TRACED argument through the jitted
+    SCP step, so updating them re-runs the same compiled program.
+    """
+    if fn is None or not wants_consts(fn):
+        return fn
+    return functools.partial(fn, consts=consts)
 
 
 class ConeKind(enum.Enum):
@@ -117,6 +147,11 @@ class TrajectoryProblem:
         min/max LPs per variable, scp.jl:376-517 — available separately).
       callback: host-side per-iteration hook `(iteration_state) -> bool`;
         returning True suppresses stopping (reference problem.jl:322-354).
+      consts: pytree of problem constants. Any callback that declares a
+        trailing `consts` parameter receives it as a TRACED input, so
+        host-side updates (homotopy ladders, parameter sweeps) re-run the
+        compiled step without re-tracing (replaces the reference's mutable
+        `pbm.mdl` read by user closures).
     """
 
     nx: int
@@ -124,6 +159,7 @@ class TrajectoryProblem:
     np: int
     f: Callable
     guess: Callable
+    consts: Any = None
     jac: Optional[Callable] = None
     impulse: Optional[Callable] = None
     terminal_cost: Optional[Callable] = None

@@ -46,7 +46,8 @@ import numpy as np
 from scptoolbox_tpu.config import SCPStatus, default_dtype
 from scptoolbox_tpu.ops import ipm
 from scptoolbox_tpu.ops.discretize import DiscretizationType, discretize, propagate
-from scptoolbox_tpu.parser.problem import ConeKind, TrajectoryProblem
+from scptoolbox_tpu.parser.problem import (ConeKind, TrajectoryProblem,
+                                           bind_consts)
 from scptoolbox_tpu.solvers.projection import project_convex
 from scptoolbox_tpu.solvers.scaling import compute_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
@@ -144,7 +145,8 @@ class GuSTO:
         self.spec = tmpl.freeze()
         self.tmpl = tmpl
 
-        xg, ug, pg = pbm.guess(N)
+        self.consts = pbm.consts
+        xg, ug, pg = bind_consts(pbm.guess, pbm.consts)(N)
         self._guess = (jnp.asarray(xg, self.dtype),
                        jnp.asarray(ug, self.dtype),
                        jnp.asarray(pg, self.dtype))
@@ -152,16 +154,17 @@ class GuSTO:
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(nx, dtype=self.dtype)
 
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(self._step_impl, static_argnames=())
 
     # ------------------------------------------------------------------
 
-    def _discretize(self, x, u, p):
+    def _discretize(self, x, u, p, consts=None):
         return discretize(
             self.pbm.f, x, u, p, jnp.asarray(self.t_np, self.dtype), self._E,
             nsub=self.pars.Nsub, method=self.pars.disc_method,
             jac=self.pbm.jac, impulse=self.pbm.impulse,
-            actions=self.pbm.integration_actions)
+            actions=self.pbm.integration_actions,
+            consts=self.consts if consts is None else consts)
 
     def _post_trust_region(self, asm, ref_x, ref_p, eta):
         """Soft one-sided trust region (gusto.jl:1060-1190)."""
@@ -235,14 +238,14 @@ class GuSTO:
         asm.add_A(r, np.concatenate([tr_cols, vtr], axis=1),
                   jnp.broadcast_to(jnp.asarray([1.0, -1.0], dt), (N, 1, 2)))
 
-    def _assemble(self, ref_x, ref_u, ref_p, dltv, eta, lam):
+    def _assemble(self, ref_x, ref_u, ref_p, dltv, eta, lam, consts):
         tmpl, pars = self.tmpl, self.pars
         lay, plan = tmpl.layout, tmpl.plan
         N = pars.N
         ns = tmpl.struct.ns
         dt = self.dtype
         asm = Assembler(tmpl.m, tmpl.n, dt)
-        tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv)
+        tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv, consts)
         self._post_trust_region(asm, ref_x, ref_p, eta)
 
         # single quadratic epigraph: t_pen >= sum_k w_k v_tr_k^2
@@ -272,8 +275,10 @@ class GuSTO:
 
         return asm.finish(self._S_full, self._c_full)
 
-    def _nonlinear_state_penalty(self, x, u, p, lam):
+    def _nonlinear_state_penalty(self, x, u, p, lam, consts=None):
         """state_penalty_cost(:nonconvex) (gusto.jl:845-865) with pen=quad."""
+        if consts is None:
+            consts = self.consts
         tmpl = self.tmpl
         dt = self.dtype
         N = self.pars.N
@@ -282,7 +287,7 @@ class GuSTO:
         if tmpl.struct.ns:
             ts = jnp.asarray(self.t_np, dt)
             ks = jnp.arange(N)
-            sval = jax.vmap(lambda t, k, xx, uu: self.pbm.s(t, k, xx, uu, p)
+            sval = jax.vmap(lambda t, k, xx, uu: bind_consts(self.pbm.s, consts)(t, k, xx, uu, p)
                             )(ts, ks, x, u)
             pen = pen + lam * (w @ jnp.sum(jnp.maximum(sval, 0.0) ** 2,
                                            axis=1))
@@ -307,25 +312,28 @@ class GuSTO:
         w = jnp.asarray(self.tmpl.w_trapz, dt)
         return w @ df, w @ dxdt
 
-    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta, lam):
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta, lam, consts=None):
         """One full GuSTO iteration on device (eta, lam traced)."""
         pars, tmpl = self.pars, self.tmpl
         sc = self.scaling
-        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam)
+        if consts is None:
+            consts = self.consts
+        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter)
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
-        L = tmpl.original_cost(x, u, p)
+        L = tmpl.original_cost(x, u, p, consts)
         L_aug = sol.obj + const
         # J_tr: the convex trust-region penalty value at the solution
         lay = tmpl.layout
         v_tr = d[lay.sl("v_tr")]
         w = jnp.asarray(tmpl.w_trapz, self.dtype)
         J_tr = lam * (w @ v_tr ** 2)
-        J_aug = (L + self._nonlinear_state_penalty(x, u, p, lam) + J_tr)
+        J_aug = (L + self._nonlinear_state_penalty(x, u, p, lam, consts)
+                 + J_tr)
 
-        dltv_new = self._discretize(x, u, p)
+        dltv_new = self._discretize(x, u, p, consts)
         defect_norm = jnp.max(jnp.abs(dltv_new.defects / sc.Sx[None, :]))
         feas = defect_norm <= pars.feas_tol
 
@@ -352,7 +360,7 @@ class GuSTO:
         if tmpl.struct.ns:
             ts = jnp.asarray(self.t_np, self.dtype)
             ks = jnp.arange(pars.N)
-            sval = jax.vmap(lambda t, k, xx, uu: self.pbm.s(t, k, xx, uu, p)
+            sval = jax.vmap(lambda t, k, xx, uu: bind_consts(self.pbm.s, consts)(t, k, xx, uu, p)
                             )(ts, ks, x, u)
             viol = jnp.max(sval)
 
@@ -363,10 +371,10 @@ class GuSTO:
             ipm_status=sol.status, ipm_iters=sol.iters)
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _ref_J_aug(self, x, u, p, lam):
-        dltv = self._discretize(x, u, p)
-        return (self.tmpl.original_cost(x, u, p)
-                + self._nonlinear_state_penalty(x, u, p, lam)), dltv
+    def _ref_J_aug(self, x, u, p, lam, consts):
+        dltv = self._discretize(x, u, p, consts)
+        return (self.tmpl.original_cost(x, u, p, consts)
+                + self._nonlinear_state_penalty(x, u, p, lam, consts)), dltv
 
     # ------------------------------------------------------------------
 
@@ -397,7 +405,8 @@ class GuSTO:
                                      t_grid=self.t_np, dtype=self.dtype)
         lam = pars.lam_init
         eta = pars.eta_init
-        J_ref, dltv = self._ref_J_aug(*ref, jnp.asarray(lam, self.dtype))
+        J_ref, dltv = self._ref_J_aug(*ref, jnp.asarray(lam, self.dtype),
+                                      self.consts)
         J_ref = float(J_ref)
 
         history = []
@@ -410,7 +419,7 @@ class GuSTO:
             kappa = (1.0 if (it + 1) < pars.iter_mu
                      else pars.mu ** (1 + (it + 1) - pars.iter_mu))
             out = self._step(*ref, dltv, jnp.asarray(eta, self.dtype),
-                             jnp.asarray(lam, self.dtype))
+                             jnp.asarray(lam, self.dtype), self.consts)
             n_iter = it + 1
             feas = bool(out["feas"])
             deviation = float(out["deviation"])
@@ -491,7 +500,8 @@ class GuSTO:
             self.pbm.f, final["x"][0], final["u"], final["p"],
             jnp.asarray(self.t_np, self.dtype),
             nsub=2 * pars.Nsub, method=pars.disc_method,
-            impulse=self.pbm.impulse, actions=self.pbm.integration_actions)
+            impulse=self.pbm.impulse, actions=self.pbm.integration_actions,
+            consts=self.consts)
         return SCPSolution(
             status=status, algorithm="gusto", iterations=n_iter,
             xd=xd, ud=ud, p=p, cost=float(final["L"]),

@@ -15,7 +15,8 @@ import numpy as np
 
 from scptoolbox_tpu.config import SCPError, SCPStatus
 from scptoolbox_tpu.ops.ipm import IPMStatus
-from scptoolbox_tpu.parser.problem import TrajectoryProblem, l1
+from scptoolbox_tpu.parser.problem import (TrajectoryProblem,
+                                           bind_consts, l1)
 from scptoolbox_tpu.parser.program import ConicProgram
 
 
@@ -27,6 +28,8 @@ def project_convex(pbm: TrajectoryProblem, scaling, x_ref, u_ref, p_ref,
         return x_ref, u_ref, p_ref
     N = x_ref.shape[0]
     nx, nu, npp = pbm.nx, pbm.nu, pbm.np
+    X_fn = bind_consts(pbm.X, pbm.consts)
+    U_fn = bind_consts(pbm.U, pbm.consts)
 
     prg = ConicProgram(dtype=dtype)
     x = prg.variable("x", N, nx)
@@ -46,20 +49,20 @@ def project_convex(pbm: TrajectoryProblem, scaling, x_ref, u_ref, p_ref,
         if pbm.X is not None:
             if npp > 0:
                 prg.add_constraint(
-                    f"X{k}", lambda xv, pv, k=k, tk=tk: pbm.X(tk, k, xv[k], pv),
+                    f"X{k}", lambda xv, pv, k=k, tk=tk: X_fn(tk, k, xv[k], pv),
                     (x, p))
             else:
                 prg.add_constraint(
-                    f"X{k}", lambda xv, k=k, tk=tk: pbm.X(tk, k, xv[k], p_fix),
+                    f"X{k}", lambda xv, k=k, tk=tk: X_fn(tk, k, xv[k], p_fix),
                     (x,))
         if pbm.U is not None:
             if npp > 0:
                 prg.add_constraint(
-                    f"U{k}", lambda uv, pv, k=k, tk=tk: pbm.U(tk, k, uv[k], pv),
+                    f"U{k}", lambda uv, pv, k=k, tk=tk: U_fn(tk, k, uv[k], pv),
                     (u, p))
             else:
                 prg.add_constraint(
-                    f"U{k}", lambda uv, k=k, tk=tk: pbm.U(tk, k, uv[k], p_fix),
+                    f"U{k}", lambda uv, k=k, tk=tk: U_fn(tk, k, uv[k], p_fix),
                     (u,))
         prg.add_constraint(
             f"ex{k}",

@@ -40,7 +40,8 @@ from scptoolbox_tpu.config import SCPStatus, default_dtype
 from scptoolbox_tpu.ops import ipm
 from scptoolbox_tpu.ops.discretize import (DiscretizationType, discretize,
                                            propagate)
-from scptoolbox_tpu.parser.problem import ConeKind, TrajectoryProblem
+from scptoolbox_tpu.parser.problem import (ConeKind, TrajectoryProblem,
+                                           bind_consts)
 from scptoolbox_tpu.solvers.scaling import compute_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
 from scptoolbox_tpu.solvers.subproblem import Assembler
@@ -143,32 +144,37 @@ class PTR:
         self.spec = tmpl.freeze()
         self.tmpl = tmpl
 
+        # problem constants: mutable on the host (e.g. homotopy ladders),
+        # traced through the jitted step so updates never re-trace
+        self.consts = pbm.consts
+
         # scaling fixed per problem instance (from advice / guess)
-        xg, ug, pg = pbm.guess(N)
+        xg, ug, pg = bind_consts(pbm.guess, pbm.consts)(N)
         self._guess = (jnp.asarray(xg, self.dtype), jnp.asarray(ug, self.dtype),
                        jnp.asarray(pg, self.dtype))
         self.scaling = compute_scaling(pbm, *self._guess)
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(pbm.nx, dtype=self.dtype)  # scp.jl:149
 
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(lambda rx, ru, rp, dltv, J, consts: self._step_impl(rx, ru, rp, dltv, J, consts))
 
     # ------------------------------------------------------------------
 
-    def _discretize(self, x, u, p):
+    def _discretize(self, x, u, p, consts=None):
         return discretize(
             self.pbm.f, x, u, p, jnp.asarray(self.t_np, self.dtype), self._E,
             nsub=self.pars.Nsub, method=self.pars.disc_method,
             jac=self.pbm.jac, impulse=self.pbm.impulse,
-            actions=self.pbm.integration_actions)
+            actions=self.pbm.integration_actions,
+            consts=self.consts if consts is None else consts)
 
-    def _assemble(self, ref_x, ref_u, ref_p, dltv):
+    def _assemble(self, ref_x, ref_u, ref_p, dltv, consts):
         tmpl, pars = self.tmpl, self.pars
         lay, plan = tmpl.layout, tmpl.plan
         N = pars.N
         dt = self.dtype
         asm = Assembler(tmpl.m, tmpl.n, dt)
-        tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv)
+        tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv, consts)
 
         sc = self.scaling
         self._tr_x.post(asm, tmpl, lay.idx("x"), lay.idx("eta_x"),
@@ -204,19 +210,21 @@ class PTR:
 
         return asm.finish(self._S_full, self._c_full)
 
-    def _step_impl(self, ref_x, ref_u, ref_p, dltv, J_aug_ref):
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, J_aug_ref, consts=None):
         """One full PTR iteration on device."""
         pars, tmpl = self.pars, self.tmpl
+        if consts is None:
+            consts = self.consts
         sc = self.scaling
-        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv)
+        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter)
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
         J_aug = sol.obj + const
-        J_orig = tmpl.original_cost(x, u, p)
+        J_orig = tmpl.original_cost(x, u, p, consts)
 
-        dltv_new = self._discretize(x, u, p)
+        dltv_new = self._discretize(x, u, p, consts)
         defect_norm = jnp.max(jnp.abs(dltv_new.defects / sc.Sx[None, :]))
         feas = defect_norm <= pars.feas_tol
 
@@ -276,7 +284,7 @@ class PTR:
         n_iter = 0
         for it in range(pars.iter_max):
             t0 = time.perf_counter()
-            out = self._step(*ref, dltv, J_aug_ref)
+            out = self._step(*ref, dltv, J_aug_ref, self.consts)
             J_aug = float(out["J_aug"])
             feas = bool(out["feas"])
             deviation = float(out["deviation"])
@@ -321,7 +329,8 @@ class PTR:
             self.pbm.f, out["x"][0], out["u"], out["p"],
             jnp.asarray(self.t_np, self.dtype),
             nsub=2 * pars.Nsub, method=pars.disc_method,
-            impulse=self.pbm.impulse, actions=self.pbm.integration_actions)
+            impulse=self.pbm.impulse, actions=self.pbm.integration_actions,
+            consts=self.consts)
         return SCPSolution(
             status=status, algorithm="ptr", iterations=n_iter,
             xd=xd, ud=ud, p=p, cost=float(out["J_orig"]),
@@ -341,17 +350,21 @@ class PTR:
         outputs per scenario plus per-iteration (feas, deviation, improv_rel)
         traces. Early stopping is not applied (all scenarios run n_iters;
         converged ones sit at a fixed point, ptr.jl always-accept)."""
-        return self._solve_batched(bx, bu, bp, n_iters)
+        return self._solve_batched(bx, bu, bp, self.consts, n_iters)
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _solve_batched(self, bx, bu, bp, n_iters):
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _solve_batched(self, bx, bu, bp, consts, n_iters):
         B = bx.shape[0]
-        bdltv = jax.vmap(self._discretize)(bx, bu, bp)
+        bdltv = jax.vmap(
+            lambda xx, uu, pp: self._discretize(xx, uu, pp, consts)
+        )(bx, bu, bp)
         bJ = jnp.full((B,), jnp.inf, self.dtype)
 
         def body(carry, _):
             x, u, p, dltv, J = carry
-            out = jax.vmap(self._step_impl)(x, u, p, dltv, J)
+            out = jax.vmap(
+                lambda xx, uu, pp, dd, JJ: self._step_impl(
+                    xx, uu, pp, dd, JJ, consts))(x, u, p, dltv, J)
             trace = dict(feas=out["feas"], deviation=out["deviation"],
                          improv_rel=out["improv_rel"], J_aug=out["J_aug"])
             return ((out["x"], out["u"], out["p"], out["dltv"],

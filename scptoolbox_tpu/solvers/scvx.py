@@ -43,7 +43,8 @@ import numpy as np
 from scptoolbox_tpu.config import SCPError, SCPStatus, default_dtype
 from scptoolbox_tpu.ops import ipm
 from scptoolbox_tpu.ops.discretize import DiscretizationType, discretize, propagate
-from scptoolbox_tpu.parser.problem import ConeKind, TrajectoryProblem
+from scptoolbox_tpu.parser.problem import (ConeKind, TrajectoryProblem,
+                                           bind_consts)
 from scptoolbox_tpu.solvers.projection import project_convex
 from scptoolbox_tpu.solvers.scaling import compute_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
@@ -127,7 +128,8 @@ class SCvx:
         self.spec = tmpl.freeze()
         self.tmpl = tmpl
 
-        xg, ug, pg = pbm.guess(N)
+        self.consts = pbm.consts
+        xg, ug, pg = bind_consts(pbm.guess, pbm.consts)(N)
         self._guess = (jnp.asarray(xg, self.dtype),
                        jnp.asarray(ug, self.dtype),
                        jnp.asarray(pg, self.dtype))
@@ -135,16 +137,17 @@ class SCvx:
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(nx, dtype=self.dtype)  # scp.jl:149
 
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(self._step_impl, static_argnames=())
 
     # ------------------------------------------------------------------
 
-    def _discretize(self, x, u, p):
+    def _discretize(self, x, u, p, consts=None):
         return discretize(
             self.pbm.f, x, u, p, jnp.asarray(self.t_np, self.dtype), self._E,
             nsub=self.pars.Nsub, method=self.pars.disc_method,
             jac=self.pbm.jac, impulse=self.pbm.impulse,
-            actions=self.pbm.integration_actions)
+            actions=self.pbm.integration_actions,
+            consts=self.consts if consts is None else consts)
 
     def _post_trust_region(self, asm, ref_x, ref_u, ref_p, eta):
         """Hard trust region (reference add_trust_region!, scvx.jl:578-678)."""
@@ -208,13 +211,13 @@ class SCvx:
             asm.add_A(rows, cols, J)
             asm.add_b(rows, jnp.full((N, 1), eta, dt))
 
-    def _assemble(self, ref_x, ref_u, ref_p, dltv, eta):
+    def _assemble(self, ref_x, ref_u, ref_p, dltv, eta, consts):
         tmpl, pars = self.tmpl, self.pars
         lay = tmpl.layout
         N = pars.N
         dt = self.dtype
         asm = Assembler(tmpl.m, tmpl.n, dt)
-        tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv)
+        tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv, consts)
         self._post_trust_region(asm, ref_x, ref_u, ref_p, eta)
 
         # lambda-weighted virtual-control penalty (scvx.jl:804-901 lowered)
@@ -235,9 +238,11 @@ class SCvx:
 
         return asm.finish(self._S_full, self._c_full)
 
-    def _nonlinear_penalty(self, x, u, p, defects):
+    def _nonlinear_penalty(self, x, u, p, defects, consts=None):
         """actual_cost_penalty! (scvx.jl:924-972): lambda-weighted true
         defect + constraint violation penalty."""
+        if consts is None:
+            consts = self.consts
         pars, tmpl = self.pars, self.tmpl
         dt = self.dtype
         N = pars.N
@@ -248,33 +253,37 @@ class SCvx:
         if tmpl.struct.ns:
             ts = jnp.asarray(self.t_np, dt)
             ks = jnp.arange(N)
-            sval = jax.vmap(lambda t, k, xx, uu: self.pbm.s(t, k, xx, uu, p)
+            sval = jax.vmap(lambda t, k, xx, uu: bind_consts(self.pbm.s, consts)(t, k, xx, uu, p)
                             )(ts, ks, x, u)
             P = P + jnp.sum(jnp.maximum(sval, 0.0), axis=1)
         pen = lam * (w @ P)
         if tmpl.struct.n_ic:
-            pen = pen + lam * jnp.sum(jnp.abs(self.pbm.gic(x[0], p)))
+            pen = pen + lam * jnp.sum(jnp.abs(
+                bind_consts(self.pbm.gic, consts)(x[0], p)))
         if tmpl.struct.n_tc:
-            pen = pen + lam * jnp.sum(jnp.abs(self.pbm.gtc(x[-1], p)))
+            pen = pen + lam * jnp.sum(jnp.abs(
+                bind_consts(self.pbm.gtc, consts)(x[-1], p)))
         return pen
 
-    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta):
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta, consts=None):
         """One full SCvx iteration on device (eta traced)."""
         pars, tmpl = self.pars, self.tmpl
         sc = self.scaling
-        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta)
+        if consts is None:
+            consts = self.consts
+        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter)
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
-        L_sol = tmpl.original_cost(x, u, p)      # linear cost (no penalty)
+        L_sol = tmpl.original_cost(x, u, p, consts)      # linear cost (no penalty)
         L_aug = sol.obj + const                  # with subproblem penalty
 
-        dltv_new = self._discretize(x, u, p)
+        dltv_new = self._discretize(x, u, p, consts)
         defect_norm = jnp.max(jnp.abs(dltv_new.defects / sc.Sx[None, :]))
         feas = defect_norm <= pars.feas_tol
-        J_aug = (tmpl.original_cost(x, u, p)
-                 + self._nonlinear_penalty(x, u, p, dltv_new.defects))
+        J_aug = (tmpl.original_cost(x, u, p, consts)
+                 + self._nonlinear_penalty(x, u, p, dltv_new.defects, consts))
 
         q = pars.q_exit
         dx = jnp.max(_pnorm((x - ref_x) / sc.Sx[None, :], q))
@@ -293,11 +302,11 @@ class SCvx:
             ipm_iters=sol.iters)
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _ref_J_aug(self, x, u, p):
+    def _ref_J_aug(self, x, u, p, consts):
         """Nonlinear augmented cost of a reference trajectory."""
-        dltv = self._discretize(x, u, p)
-        return (self.tmpl.original_cost(x, u, p)
-                + self._nonlinear_penalty(x, u, p, dltv.defects)), dltv
+        dltv = self._discretize(x, u, p, consts)
+        return (self.tmpl.original_cost(x, u, p, consts)
+                + self._nonlinear_penalty(x, u, p, dltv.defects, consts)), dltv
 
     # ------------------------------------------------------------------
 
@@ -326,7 +335,7 @@ class SCvx:
             if pars.project_guess:
                 ref = project_convex(self.pbm, self.scaling, *ref,
                                      t_grid=self.t_np, dtype=self.dtype)
-        J_ref, dltv = self._ref_J_aug(*ref)
+        J_ref, dltv = self._ref_J_aug(*ref, self.consts)
         J_ref = float(J_ref)
         eta = pars.eta_init
 
@@ -337,7 +346,8 @@ class SCvx:
         n_iter = 0
         for it in range(pars.iter_max):
             t0 = time.perf_counter()
-            out = self._step(*ref, dltv, jnp.asarray(eta, self.dtype))
+            out = self._step(*ref, dltv, jnp.asarray(eta, self.dtype),
+                             self.consts)
             n_iter = it + 1
             feas = bool(out["feas"])
             deviation = float(out["deviation"])
@@ -403,7 +413,8 @@ class SCvx:
             self.pbm.f, final["x"][0], final["u"], final["p"],
             jnp.asarray(self.t_np, self.dtype),
             nsub=2 * pars.Nsub, method=pars.disc_method,
-            impulse=self.pbm.impulse, actions=self.pbm.integration_actions)
+            impulse=self.pbm.impulse, actions=self.pbm.integration_actions,
+            consts=self.consts)
         return SCPSolution(
             status=status, algorithm="scvx", iterations=n_iter,
             xd=xd, ud=ud, p=p, cost=float(final["L"]),

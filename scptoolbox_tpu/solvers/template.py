@@ -40,7 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from scptoolbox_tpu.ops.cones import ConeSpec
-from scptoolbox_tpu.parser.problem import ConeKind, TrajectoryProblem
+from scptoolbox_tpu.parser.problem import (ConeKind, TrajectoryProblem,
+                                           bind_consts)
 from scptoolbox_tpu.solvers.scaling import Scaling
 from scptoolbox_tpu.solvers.subproblem import Assembler, RowPlan, VarLayout
 
@@ -241,17 +242,21 @@ class SCPTemplate:
         self.nv = nx  # virtual-control dim: E = I_nx (reference scp.jl:149)
 
         # ---- probe static structure at the guess ----
-        xg, ug, pg = pbm.guess(N)
+        xg, ug, pg = bind_consts(pbm.guess, pbm.consts)(N)
         xg = jnp.asarray(xg, dtype)
         ug = jnp.asarray(ug, dtype)
         pg = jnp.asarray(pg, dtype)
         t0 = jnp.asarray(self.t_np[0], dtype)
         k0 = jnp.asarray(0)
-        Xk, Xd = _cone_structure(pbm.X(t0, k0, xg[0], pg)) if pbm.X else ((), ())
-        Uk, Ud = _cone_structure(pbm.U(t0, k0, ug[0], pg)) if pbm.U else ((), ())
-        ns = int(pbm.s(t0, k0, xg[0], ug[0], pg).shape[0]) if pbm.s else 0
-        n_ic = int(pbm.gic(xg[0], pg).shape[0]) if pbm.gic else 0
-        n_tc = int(pbm.gtc(xg[-1], pg).shape[0]) if pbm.gtc else 0
+        c0_ = pbm.consts
+        X0, U0, s0 = (bind_consts(pbm.X, c0_), bind_consts(pbm.U, c0_),
+                      bind_consts(pbm.s, c0_))
+        gic0, gtc0 = bind_consts(pbm.gic, c0_), bind_consts(pbm.gtc, c0_)
+        Xk, Xd = _cone_structure(X0(t0, k0, xg[0], pg)) if pbm.X else ((), ())
+        Uk, Ud = _cone_structure(U0(t0, k0, ug[0], pg)) if pbm.U else ((), ())
+        ns = int(s0(t0, k0, xg[0], ug[0], pg).shape[0]) if pbm.s else 0
+        n_ic = int(gic0(xg[0], pg).shape[0]) if pbm.gic else 0
+        n_tc = int(gtc0(xg[-1], pg).shape[0]) if pbm.gtc else 0
         self.struct = CoreStructure(
             X_kinds=Xk, X_dims=Xd, U_kinds=Uk, U_dims=Ud, ns=ns,
             n_ic=n_ic, n_tc=n_tc,
@@ -348,11 +353,22 @@ class SCPTemplate:
 
     # -- traced assembly -----------------------------------------------------
 
-    def assemble_core(self, asm: Assembler, ref_x, ref_u, ref_p, dltv) -> None:
+    def assemble_core(self, asm: Assembler, ref_x, ref_u, ref_p, dltv,
+                      consts=None) -> None:
         """Emit dynamics, convex X/U, linearized nonconvex s, BC rows, slack
         nonnegativity, and the original-cost epigraph rows. Traced; all
-        structure static."""
+        structure static. `consts` is the traced problem-constants pytree
+        bound into callbacks that declare it."""
         pbm, lay, plan = self.pbm, self.layout, self.plan
+        if consts is None:
+            consts = pbm.consts
+        X_fn = bind_consts(pbm.X, consts)
+        U_fn = bind_consts(pbm.U, consts)
+        s_fn = bind_consts(pbm.s, consts)
+        gic_fn = bind_consts(pbm.gic, consts)
+        gtc_fn = bind_consts(pbm.gtc, consts)
+        run_fn = bind_consts(pbm.running_cost, consts)
+        term_fn = bind_consts(pbm.terminal_cost, consts)
         N, nx, nu, npp = self.N, pbm.nx, pbm.nu, pbm.np
         dt = self.dtype
         ts = jnp.asarray(self.t_np, dt)
@@ -412,17 +428,17 @@ class SCPTemplate:
                 off += po.dim
 
         if pbm.X:
-            post_sets(pbm.X, self._X_posters, ref_x, x_idx)
+            post_sets(X_fn, self._X_posters, ref_x, x_idx)
         if pbm.U:
-            post_sets(pbm.U, self._U_posters, ref_u, u_idx)
+            post_sets(U_fn, self._U_posters, ref_u, u_idx)
 
         # ---- nonconvex path constraints: s_lin <= vs, vs >= 0 ----
         if self.struct.ns:
             ns = self.struct.ns
 
             def per_node(t, k, x, u):
-                val = pbm.s(t, k, x, u, ref_p)
-                C, D, G = jax.jacfwd(pbm.s, argnums=(2, 3, 4))(
+                val = s_fn(t, k, x, u, ref_p)
+                C, D, G = jax.jacfwd(s_fn, argnums=(2, 3, 4))(
                     t, k, x, u, ref_p)
                 return val, C, D, G
 
@@ -466,9 +482,9 @@ class SCPTemplate:
             asm.add_b(rows, -v0)
 
         if self.struct.n_ic:
-            post_bc(pbm.gic, ref_x[0], x_idx[0], "ic", "vic")
+            post_bc(gic_fn, ref_x[0], x_idx[0], "ic", "vic")
         if self.struct.n_tc:
-            post_bc(pbm.gtc, ref_x[-1], x_idx[-1], "tc", "vtc")
+            post_bc(gtc_fn, ref_x[-1], x_idx[-1], "tc", "vtc")
 
         # ---- original cost epigraphs (J_orig enters c via t_run/t_term) ----
         if self.struct.has_run:
@@ -478,7 +494,7 @@ class SCPTemplate:
                 def scalar(vec):
                     xx, uu, pp = (vec[:nx], vec[nx:nx + nu], vec[nx + nu:])
                     pp = pp if npp > 0 else ref_p
-                    return pbm.running_cost(t, k, xx, uu, pp)
+                    return run_fn(t, k, xx, uu, pp)
 
                 d0 = jnp.concatenate(
                     [x, u] + ([ref_p] if npp > 0 else []))
@@ -497,7 +513,7 @@ class SCPTemplate:
             def scalar(vec):
                 xx, pp = vec[:nx], vec[nx:]
                 pp = pp if npp > 0 else ref_p
-                return pbm.terminal_cost(xx, pp)
+                return term_fn(xx, pp)
 
             d0 = jnp.concatenate([ref_x[-1]] + ([ref_p] if npp > 0 else []))
             c0 = scalar(d0)
@@ -513,18 +529,22 @@ class SCPTemplate:
 
     # -- numerical original cost (for stopping metrics / reporting) ---------
 
-    def original_cost(self, x, u, p):
+    def original_cost(self, x, u, p, consts=None):
         """J_orig = phi(xf, p) + trapz(Gamma) numerically (reference
         scp.jl:617-643 `compute_original_cost`)."""
         pbm = self.pbm
+        if consts is None:
+            consts = pbm.consts
+        run_fn = bind_consts(pbm.running_cost, consts)
+        term_fn = bind_consts(pbm.terminal_cost, consts)
         dt = self.dtype
         J = jnp.zeros((), dt)
         if self.struct.has_term:
-            J = J + pbm.terminal_cost(x[-1], p)
+            J = J + term_fn(x[-1], p)
         if self.struct.has_run:
             ts = jnp.asarray(self.t_np, dt)
             vals = jax.vmap(
-                lambda t, k, xx, uu: pbm.running_cost(t, k, xx, uu, p)
+                lambda t, k, xx, uu: run_fn(t, k, xx, uu, p)
             )(ts, jnp.arange(self.N), x, u)
             J = J + jnp.asarray(self.w_trapz, dt) @ vals
         return J

@@ -41,30 +41,44 @@ def indicator(x, kappa=1.0):
     return sigmoid(x, kappa)
 
 
-def smooth_or(predicates: Sequence, kappa=1.0, *, minval=0.0):
-    """Smooth OR of "predicate >= 0" conditions (reference helper.jl:775-807).
+def smooth_or(predicates: Sequence, kappa=1.0, *, match=None, normalize=1.0):
+    """Smooth OR of "predicate >= 0" conditions (reference helper.jl:775-807
+    `or` -> `indicator` :724 -> `sigmoid` :672).
 
-    Returns a smooth value that is ~1 when any predicate is satisfied and
-    ~`minval` when none are: OR(p) = minval + (1-minval)*sigmoid(max_k p_k)
-    with the max taken smoothly via logsumexp. Used for actuator deadbands
-    (oscillator) and plume/approach discrete logic (rendezvous problems).
-    """
+    OR(p) = sigmoid(smoothmax(p / normalize)) + shift, where smoothmax is
+    logsumexp at sharpness kappa and the optional `match` y-shifts the curve
+    so OR equals exactly 1 when a predicate reaches `match` (the value the
+    exact kappa=inf indicator would give). `normalize` makes the shape
+    invariant to uniform predicate scaling. Used for actuator deadbands
+    (oscillator definition.jl:370-440) and plume/approach discrete logic
+    (rendezvous problems). Gradients come from JAX AD (the reference
+    hand-writes them)."""
     stacked = jnp.stack([jnp.asarray(p) for p in predicates], axis=-1)
-    smooth_max = logsumexp(stacked, kappa)
-    return minval + (1.0 - minval) * sigmoid(smooth_max, kappa)
+    smooth_max = logsumexp(stacked / normalize, kappa)
+    val = sigmoid(smooth_max, kappa)
+    if match is not None:
+        m = jnp.atleast_1d(jnp.asarray(match, dtype=float)) / normalize
+        val = val + 1.0 - sigmoid(logsumexp(m, kappa), kappa)
+    return val
 
 
 class Homotopy(NamedTuple):
-    """Exponential continuation schedule for a sharpness parameter.
+    """Exponential continuation schedule for a sharpness parameter
+    (reference src/utils/homotopy.jl:22-73).
 
-    h(x) = log(1/eps - 1) / (rho^x * delta_max): at x=0 the sigmoid transition
-    width is delta_max; each unit step of x shrinks it by rho.
-    (reference src/utils/homotopy.jl:22-73)
+    h(x) = log(1/eps - 1) / (rho^x * delta_max) with rho = delta_min /
+    delta_max: at x=0 the sigmoid transition half-width is delta_max
+    (smoothest); at x=1 it is delta_min (sharpest). `eps` is the y-error
+    versus the exact step function at the transition edge.
     """
 
-    eps: float = 0.05
-    rho: float = 0.5
+    delta_min: float = 1e-8
     delta_max: float = 1.0
+    eps: float = 1e-2
+
+    @property
+    def rho(self) -> float:
+        return self.delta_min / self.delta_max
 
     def __call__(self, x):
         x = jnp.asarray(x, dtype=float)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.scipy.linalg import expm
 
 from scptoolbox_tpu.utils import (
@@ -108,8 +109,21 @@ def test_sigmoid_and_smooth_or():
 
 
 def test_homotopy_schedule():
-    h = Homotopy(eps=0.05, rho=0.5, delta_max=1.0)
+    h = Homotopy(delta_min=0.5, delta_max=1.0, eps=0.05)
     assert float(h(1.0)) > float(h(0.0)) > 0  # sharpness grows
+    # reference parameterization (homotopy.jl:70-73): h(x) scales as rho^-x
+    h8 = Homotopy(delta_min=1e-8)
+    assert float(h8(0.0)) == pytest.approx(np.log(99.0), rel=1e-9)
+    assert float(h8(1.0)) == pytest.approx(np.log(99.0) * 1e8, rel=1e-6)
+
+
+def test_smooth_or_match():
+    """With match=normalize=m, OR equals exactly 1 when a predicate hits m
+    (reference or(), helper.jl:775-807)."""
+    m = 0.25
+    v = smooth_or([jnp.array(m), jnp.array(-m - 0.1)], kappa=10.0,
+                  match=m, normalize=m)
+    assert float(v) == pytest.approx(1.0, abs=1e-6)
 
 
 def test_golden():
