@@ -44,6 +44,9 @@ from scptoolbox_tpu.ops import cones as cn
 from scptoolbox_tpu.ops.cones import ConeSpec
 
 
+_DEBUG = False
+
+
 class IPMStatus(enum.IntEnum):
     """Device-representable solver status (parity with the MOI statuses the
     reference consumes: OPTIMAL / ALMOST_OPTIMAL gate scp.jl:965-980 and
@@ -222,13 +225,152 @@ class _QRCholKKT:
         return sol
 
 
-_KKT_METHODS = {"lu": _LUKKT, "qrchol": _QRCholKKT}
+class _SchurKKT:
+    """Reduced (normal-equations) KKT solve — the default. The augmented
+    system of _LUKKT is (n+m)^2 and its dense LU is O((n+m)^3) per IPM
+    iteration; here the cone rows are eliminated analytically,
+
+        dz_C = W^-2 (A_C dx - rhs_C),
+
+    leaving the (n + nz) symmetric quasidefinite system
+
+        [ H       A_E' ] [dx  ]   [rhs_x + A_C' W^-2 rhs_C]
+        [ A_E    -eps*I ] [dz_E] = [rhs_E]                  ,
+        H = A_C' W^-2 A_C + eps*I,
+
+    two orders of magnitude less factorization work for SCP subproblems
+    (m ~ 3n). Factored by LU on CPU or by a two-level Cholesky Schur
+    complement on TPU (the TPU compiler supports f64 Cholesky but not LU);
+    two rounds of iterative refinement against the exact unregularized
+    operator restore full accuracy.
+    """
+
+    def __init__(self, spec, A, reg_eps, cone_mask):
+        self.spec, self.A, self.reg_eps = spec, A, reg_eps
+        self.cone_mask = cone_mask
+        self.n, self.m = A.shape[1], A.shape[0]
+        self.nz = spec.nz
+        self.A_E = A[: self.nz]
+        self.A_C = A[self.nz:]
+        self.use_lu = jax.default_backend() == "cpu"
+
+    def _winv2(self, W, M):
+        """Apply W^-2 to columns of M ((m_C, k) or (m_C,))."""
+        if W is None:
+            return M
+        vec = M.ndim == 1
+        Mm = M[:, None] if vec else M
+        full = jnp.zeros((self.m, Mm.shape[1]), Mm.dtype)
+        full = full.at[self.nz:].set(Mm)
+        inv1 = jax.vmap(
+            lambda v: cn.scale(self.spec, W, v, inverse=True),
+            in_axes=1, out_axes=1)(full)
+        inv2 = jax.vmap(
+            lambda v: cn.scale(self.spec, W, v, inverse=True),
+            in_axes=1, out_axes=1)(inv1)
+        out = inv2[self.nz:]
+        return out[:, 0] if vec else out
+
+    def factor(self, W):
+        n, nz = self.n, self.nz
+        dt = self.A.dtype
+        WiAC = self._winv2(W, self.A_C)                    # (m_C, n)
+        H = self.A_C.T @ WiAC
+        # scale-aware regularization: near convergence the NT diag spread
+        # drives kappa(H) past 1/eps_mach and an absolute shift does
+        # nothing — add ~100*eps_mach of the diagonal scale so the Cholesky
+        # stays positive under roundoff; iterative refinement against the
+        # exact operator recovers the accuracy the shift costs
+        eps_rel = jnp.asarray(100.0, dt) * jnp.finfo(dt).eps
+        reg = self.reg_eps + eps_rel * jnp.abs(jnp.diagonal(H))
+        H = H + jnp.diag(reg)
+        if self.use_lu:
+            K = jnp.zeros((n + nz, n + nz), dt)
+            K = K.at[:n, :n].set(H)
+            K = K.at[:n, n:].set(self.A_E.T)
+            K = K.at[n:, :n].set(self.A_E)
+            K = K.at[n:, n:].set(-self.reg_eps * jnp.eye(nz, dtype=dt))
+            lu, piv = jax.scipy.linalg.lu_factor(K)
+            return ("lu", (lu, piv), W)
+        L_H = jnp.linalg.cholesky(H)
+        HiAE = jax.scipy.linalg.cho_solve((L_H, True), self.A_E.T)  # (n, nz)
+        S = self.A_E @ HiAE
+        reg_s = self.reg_eps + eps_rel * jnp.abs(jnp.diagonal(S))
+        S = S + jnp.diag(reg_s)
+        L_S = jnp.linalg.cholesky(S)
+        return ("chol", (L_H, HiAE, L_S), W)
+
+    def _solve_once(self, fac, rhs):
+        kind, data, W = fac
+        n, nz = self.n, self.nz
+        rx = rhs[:n]
+        rE = rhs[n: n + nz]
+        rC = rhs[n + nz:]
+        r1 = rx + self.A_C.T @ self._winv2(W, rC)
+        if kind == "lu":
+            red = jnp.concatenate([r1, rE], axis=0)
+            sol = jax.scipy.linalg.lu_solve(data, red)
+            dx, dzE = sol[:n], sol[n:]
+        else:
+            L_H, HiAE, L_S = data
+            y = jax.scipy.linalg.cho_solve((L_H, True), r1)
+            dzE = jax.scipy.linalg.cho_solve(
+                (L_S, True), self.A_E @ y - rE)
+            dx = y - HiAE @ dzE
+        dzC = self._winv2(W, self.A_C @ dx - rC)
+        return jnp.concatenate([dx, dzE, dzC], axis=0)
+
+    refine_rounds = 2
+
+    def solve(self, fac, rhs):
+        W = fac[2]
+        sol = self._solve_once(fac, rhs)
+        n = self.n
+        mask = (self.cone_mask if sol.ndim == 1
+                else self.cone_mask[:, None])
+        for _ in range(self.refine_rounds):  # refinement vs exact operator
+            w2z = (_w2_matvec(self.spec, W, sol[n:], self.cone_mask)
+                   if W is not None else sol[n:] * mask)
+            resid = rhs - jnp.concatenate(
+                [self.A.T @ sol[n:], self.A @ sol[:n] - w2z], axis=0)
+            sol = sol + self._solve_once(fac, resid)
+        return sol
+
+
+_KKT_METHODS = {"lu": _LUKKT, "qrchol": _QRCholKKT, "schur": _SchurKKT}
 
 
 def _pick_kkt_method() -> str:
-    """LU on CPU (fastest dense path); QR+Cholesky elsewhere (the TPU
-    compiler rejects f64 LU)."""
-    return "lu" if jax.default_backend() == "cpu" else "qrchol"
+    """Reduced Schur KKT everywhere: LU of the (n+nz) quasidefinite system
+    on CPU, Cholesky ladder on TPU (the TPU compiler rejects f64 LU)."""
+    return "schur"
+
+
+def _equilibrate(spec: ConeSpec, A, iters: int = 3):
+    """Cone-aware Ruiz equilibration (as ECOS performs before factorizing):
+    returns positive diagonal scalings (R, D) with A_eq = R A D having rows
+    and columns of near-unit infinity norm. Row scaling is uniform within
+    each SOC block (a non-uniform scaling would bend the cone); zero and
+    nonneg rows scale freely. Essential for the reduced (normal-equations)
+    KKT path, whose conditioning is squared in the row/column spread."""
+    m, n = A.shape
+    dt = A.dtype
+    R = jnp.ones(m, dt)
+    D = jnp.ones(n, dt)
+    soc_idx = spec.soc_indices()
+    for _ in range(iters):
+        As = jnp.abs(R[:, None] * A * D[None, :])
+        rmax = jnp.max(As, axis=1)
+        for d, idx in soc_idx.items():
+            blk_max = jnp.max(rmax[idx], axis=1, keepdims=True)
+            rmax = rmax.at[idx].set(
+                jnp.broadcast_to(blk_max, idx.shape))
+        rmax = jnp.where(rmax > 0, rmax, 1.0)
+        cmax = jnp.max(As, axis=0)
+        cmax = jnp.where(cmax > 0, cmax, 1.0)
+        R = R / jnp.sqrt(rmax)
+        D = D / jnp.sqrt(cmax)
+    return R, D
 
 
 def _lambda_min(spec: ConeSpec, v):
@@ -254,9 +396,6 @@ def _shift_interior(spec: ConeSpec, v, margin=1.0):
     return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("spec", "max_iter", "kkt_method")
-)
 def solve(
     A: jnp.ndarray,
     b: jnp.ndarray,
@@ -269,11 +408,40 @@ def solve(
     kkt_method: Optional[str] = None,
 ) -> IPMSolution:
     """Solve  min c'x  s.t.  Ax + s = b, s in K.  Jittable; vmap over
-    (A, b, c) for batched solves (spec must be shared across the batch)."""
+    (A, b, c) for batched solves (spec must be shared across the batch).
+
+    All matmuls are pinned to full f32 precision: the TPU default (bf16
+    multiply passes) is far too coarse for interior-point linear algebra."""
+    with jax.default_matmul_precision("float32"):
+        return _solve_impl(A, b, c, spec, tol=tol, tol_almost=tol_almost,
+                           max_iter=max_iter, kkt_method=kkt_method)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "max_iter", "kkt_method")
+)
+def _solve_impl(
+    A: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    spec: ConeSpec,
+    *,
+    tol: float = 1e-8,
+    tol_almost: float = 1e-5,
+    max_iter: int = 50,
+    kkt_method: Optional[str] = None,
+) -> IPMSolution:
     dt = A.dtype
     n = A.shape[1]
     m = A.shape[0]
     assert m == spec.m, f"A has {m} rows but spec.m={spec.m}"
+    # cone-aware Ruiz equilibration: solve the scaled problem
+    # min (Dc)'x̂ s.t. (RAD)x̂ + ŝ = Rb, and unscale on exit
+    # (x = D x̂, s = ŝ/R, z = R ẑ)
+    R_eq, D_eq = _equilibrate(spec, A)
+    A = R_eq[:, None] * A * D_eq[None, :]
+    b = R_eq * b
+    c = D_eq * c
     tol = jnp.asarray(tol, dt)
     reg_eps = jnp.asarray(1e-10 if dt == jnp.float64 else 1e-7, dt)
     zero_mask = jnp.asarray(1.0 - spec.cone_mask(), dt)
@@ -432,6 +600,12 @@ def solve(
 
         dx, dz, ds, dtau, dkap = directions(sigma, eta, dkap_corr)
         alpha = jnp.minimum(1.0, 0.99 * step_len(ds, dz, dtau, dkap))
+        if _DEBUG:
+            jax.debug.print(
+                "it={it} mu={mu} a_aff={aa} sigma={sg} alpha={al} "
+                "tau={tau} kap={kap}",
+                it=st.it, mu=mu, aa=alpha_aff, sg=sigma, al=alpha,
+                tau=st.tau, kap=st.kappa)
 
         x_n = st.x + alpha * dx
         s_n = st.s + alpha * ds
@@ -503,14 +677,15 @@ def solve(
     inv_tau = 1.0 / tau_f
     # infeasibility certificates are returned as the (scaled) rays themselves
     scale_out = jnp.where(is_cert, 1.0, inv_tau)
-    x = x_f * scale_out
-    s = s_f * scale_out
-    z = z_f * scale_out
+    # undo the Ruiz equilibration on the way out
+    x = x_f * scale_out * D_eq
+    s = s_f * scale_out / R_eq
+    z = z_f * scale_out * R_eq
     return IPMSolution(
         x=x, s=s, z=z,
         status=status,
         iters=final.it,
-        obj=jnp.dot(c, x),
+        obj=jnp.dot(c / D_eq, x),
         pres=pres_f, dres=dres_f, gap=gap_f,
         tau=tau_f, kappa=kap_f,
     )

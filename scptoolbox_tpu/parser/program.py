@@ -115,6 +115,7 @@ class ConicProgram:
         self._scales: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._built = False
         self._n_epi = 0
+        self._cost_linear: List[bool] = []
 
     # ---------------- declaration ----------------
 
@@ -177,10 +178,24 @@ class ConicProgram:
         var_args, par_args = self._split_args(args)
         order = tuple("v" if isinstance(a, Var) else "p" for a in args)
         self._costs.append(_Cost(fn, var_args, par_args, order))
-        # one epigraph variable + SOC per quadratic cost term
+        # probe the Hessian at default parameter values: structurally-linear
+        # costs go straight into the objective vector (a zero-Hessian SOC
+        # epigraph is a degenerate cone on which the IPM stalls)
         nd = sum(int(np.prod(v.shape)) for v in var_args)
-        self.layout.add(f"_t_cost{self._n_epi}")
-        self.plan.soc(f"_cost_epi{self._n_epi}", 1, nd + 2)
+        vvals, pvals = self._example_values(var_args, par_args)
+
+        def scalar_probe(vec):
+            sizes = [int(np.prod(v.shape)) for v in var_args]
+            parts = jnp.split(vec, list(np.cumsum(sizes)[:-1]))
+            shaped = [p.reshape(v.shape) for p, v in zip(parts, var_args)]
+            return fn(*_interleave(order, shaped, pvals))
+
+        H = jax.hessian(scalar_probe)(jnp.zeros(nd, self.dtype))
+        linear = bool(np.max(np.abs(np.asarray(H))) == 0.0)
+        self._cost_linear.append(linear)
+        if not linear:
+            self.layout.add(f"_t_cost{self._n_epi}")
+            self.plan.soc(f"_cost_epi{self._n_epi}", 1, nd + 2)
         self._n_epi += 1
 
     # ---------------- build + solve ----------------
@@ -242,13 +257,18 @@ class ConicProgram:
             d0 = jnp.zeros(int(sum(sizes)), self.dtype)
             c0 = scalar(d0)
             g = jax.grad(scalar)(d0)
-            H = jax.hessian(scalar)(d0)
-            post_quadratic_epigraphs(
-                asm, self.plan.rows(f"_cost_epi{i}"), cols[None, :],
-                self.layout.idx(f"_t_cost{i}").reshape(1),
-                H[None], g[None], c0[None], d0[None])
-            asm.add_c(self.layout.idx(f"_t_cost{i}").reshape(1),
-                      jnp.ones(1, self.dtype))
+            if self._cost_linear[i]:
+                # structurally-linear term: straight into the objective
+                asm.add_c(cols, g)
+                asm.add_const(c0)
+            else:
+                H = jax.hessian(scalar)(d0)
+                post_quadratic_epigraphs(
+                    asm, self.plan.rows(f"_cost_epi{i}"), cols[None, :],
+                    self.layout.idx(f"_t_cost{i}").reshape(1),
+                    H[None], g[None], c0[None], d0[None])
+                asm.add_c(self.layout.idx(f"_t_cost{i}").reshape(1),
+                          jnp.ones(1, self.dtype))
 
         return asm.finish(self._S_full, self._c_full)
 

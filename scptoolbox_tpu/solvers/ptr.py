@@ -282,7 +282,13 @@ class PTR:
         status = SCPStatus.FAILED
         out = None
         n_iter = 0
-        for it in range(pars.iter_max):
+        # iteration budget extendable by the user callback (the reference's
+        # homotopy callback grows pars.iter_max mid-solve so each homotopy
+        # stage gets a fresh budget, rendezvous_3d definition.jl:117-127)
+        self.extra_iters = 0
+        it = -1
+        while it + 1 < pars.iter_max + self.extra_iters:
+            it += 1
             t0 = time.perf_counter()
             out = self._step(*ref, dltv, J_aug_ref, self.consts)
             J_aug = float(out["J_aug"])

@@ -307,11 +307,44 @@ class SCPTemplate:
             BlockPoster(f"U{i}", k, d, N, lay, plan)
             for i, (k, d) in enumerate(zip(Uk, Ud))
         ]
-        nd_run = nx + nu + npp
+        # structurally-linear costs (zero Hessian) are lowered straight into
+        # the objective vector: a quadratic SOC epigraph with H = 0 is a
+        # degenerate cone on which complementarity stalls (and wastes rows)
+        self.run_linear = False
+        self.term_linear = False
+        t0j = jnp.asarray(self.t_np, self.dtype)
         if self.struct.has_run:
+            run0 = bind_consts(pbm.running_cost, c0_)
+
+            def _hess_run(t, k, xv, uv):
+                def scl(vec):
+                    xx = vec[:nx]
+                    uu = vec[nx:nx + nu]
+                    pp = vec[nx + nu:] if npp > 0 else pg
+                    return run0(t, k, xx, uu, pp)
+
+                d0 = jnp.concatenate([xv, uv] + ([pg] if npp > 0 else []))
+                return jax.hessian(scl)(d0)
+
+            Hs = jax.vmap(_hess_run)(t0j, jnp.arange(N), xg, ug)
+            self.run_linear = bool(np.max(np.abs(np.asarray(Hs))) == 0.0)
+        if self.struct.has_term:
+            term0 = bind_consts(pbm.terminal_cost, c0_)
+
+            def _scl_term(vec):
+                xx = vec[:nx]
+                pp = vec[nx:] if npp > 0 else pg
+                return term0(xx, pp)
+
+            d0t = jnp.concatenate([xg[-1]] + ([pg] if npp > 0 else []))
+            Ht = jax.hessian(_scl_term)(d0t)
+            self.term_linear = bool(np.max(np.abs(np.asarray(Ht))) == 0.0)
+
+        nd_run = nx + nu + npp
+        if self.struct.has_run and not self.run_linear:
             lay.add("t_run", N)
             plan.soc("run_epi", N, nd_run + 2)
-        if self.struct.has_term:
+        if self.struct.has_term and not self.term_linear:
             lay.add("t_term")
             plan.soc("term_epi", 1, nx + npp + 2)
         self.layout = lay
@@ -505,10 +538,17 @@ class SCPTemplate:
             d_cols = np.concatenate(
                 [x_idx, u_idx, np.broadcast_to(p_idx, (N, npp))], axis=1
             ) if npp > 0 else np.concatenate([x_idx, u_idx], axis=1)
-            post_quadratic_epigraphs(
-                asm, plan.rows("run_epi"), d_cols,
-                lay.idx("t_run").reshape(-1), H, g, c0, d0)
-            asm.add_c(lay.idx("t_run"), jnp.asarray(self.w_trapz, dt))
+            w = jnp.asarray(self.w_trapz, dt)
+            if self.run_linear:
+                # structurally-linear running cost: straight into c (no cone)
+                asm.add_c(d_cols, w[:, None] * g)
+                asm.add_const(jnp.dot(
+                    w, c0 - jnp.einsum("ki,ki->k", g, d0)))
+            else:
+                post_quadratic_epigraphs(
+                    asm, plan.rows("run_epi"), d_cols,
+                    lay.idx("t_run").reshape(-1), H, g, c0, d0)
+                asm.add_c(lay.idx("t_run"), w)
         if self.struct.has_term:
             def scalar(vec):
                 xx, pp = vec[:nx], vec[nx:]
@@ -518,14 +558,18 @@ class SCPTemplate:
             d0 = jnp.concatenate([ref_x[-1]] + ([ref_p] if npp > 0 else []))
             c0 = scalar(d0)
             g = jax.grad(scalar)(d0)
-            H = jax.hessian(scalar)(d0)
             d_cols = (np.concatenate([x_idx[-1], p_idx])
                       if npp > 0 else x_idx[-1])
-            post_quadratic_epigraphs(
-                asm, plan.rows("term_epi"), d_cols[None, :],
-                lay.idx("t_term").reshape(1), H[None], g[None], c0[None],
-                d0[None])
-            asm.add_c(lay.idx("t_term").reshape(1), jnp.ones(1, dt))
+            if self.term_linear:
+                asm.add_c(d_cols, g)
+                asm.add_const(c0 - jnp.dot(g, d0))
+            else:
+                H = jax.hessian(scalar)(d0)
+                post_quadratic_epigraphs(
+                    asm, plan.rows("term_epi"), d_cols[None, :],
+                    lay.idx("t_term").reshape(1), H[None], g[None], c0[None],
+                    d0[None])
+                asm.add_c(lay.idx("t_term").reshape(1), jnp.ones(1, dt))
 
     # -- numerical original cost (for stopping metrics / reporting) ---------
 

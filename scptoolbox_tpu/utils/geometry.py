@@ -90,6 +90,33 @@ class Hyperrectangle(NamedTuple):
         hi = jnp.array([r[1] for r in ranges], dtype=float)
         return Hyperrectangle(lo, hi)
 
+    @staticmethod
+    def from_extrusion(offset, width, height, depth, *, yaw=0.0, pitch=0.0,
+                       roll=0.0) -> "Hyperrectangle":
+        """Extruded 3D prism: a width x height rectangle at `offset` extruded
+        by `depth` along +z, then rotated by Tait-Bryan angles (degrees, each
+        a multiple of 90 so the result stays axis-aligned). Reference
+        hyperrectangle.jl:102-148."""
+        for ang in (yaw, pitch, roll):
+            if ang % 90 != 0:
+                raise ValueError("hyperrectangle must be axis-aligned")
+        import numpy as _np
+
+        lo = _np.array([-width / 2.0, -height / 2.0, 0.0])
+        hi = _np.array([width / 2.0, height / 2.0, depth])
+        c, s = lambda a: _np.cos(_np.deg2rad(a)), lambda a: _np.sin(
+            _np.deg2rad(a))
+        Rz = _np.array([[c(yaw), -s(yaw), 0], [s(yaw), c(yaw), 0], [0, 0, 1]])
+        Ry = _np.array([[c(pitch), 0, s(pitch)], [0, 1, 0],
+                        [-s(pitch), 0, c(pitch)]])
+        Rx = _np.array([[1, 0, 0], [0, c(roll), -s(roll)],
+                        [0, s(roll), c(roll)]])
+        R = Rz @ Ry @ Rx
+        lr, ur = R @ lo, R @ hi
+        off = _np.asarray(offset, dtype=float)
+        return Hyperrectangle(jnp.asarray(_np.minimum(lr, ur) + off),
+                              jnp.asarray(_np.maximum(lr, ur) + off))
+
     @property
     def s(self) -> jnp.ndarray:
         return (self.u - self.l) / 2.0
