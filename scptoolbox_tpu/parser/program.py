@@ -272,8 +272,20 @@ class ConicProgram:
 
         return asm.finish(self._S_full, self._c_full)
 
-    @functools.partial(jax.jit, static_argnames=("self", "tol", "max_iter"))
-    def _solve_jit(self, pvals, tol, max_iter):
+    # NOTE: never jit with `self` as a static argument — ConicProgram hashes
+    # by id, and after garbage collection a NEW instance can alias a dead
+    # one's id, silently reusing a stale trace with the old program's
+    # constants baked in. A per-instance jitted closure avoids this.
+    @property
+    def _solve_jit(self):
+        fn = self.__dict__.get("_solve_jit_fn")
+        if fn is None:
+            fn = jax.jit(self._solve_impl,
+                         static_argnames=("tol", "max_iter"))
+            self.__dict__["_solve_jit_fn"] = fn
+        return fn
+
+    def _solve_impl(self, pvals, tol, max_iter):
         A, b, c, const = self._assemble(pvals)
         sol = ipm.solve(A, b, c, self.spec, tol=tol, max_iter=max_iter)
         d = self._S_full * sol.x + self._c_full

@@ -370,8 +370,17 @@ class GuSTO:
             rho=rho, tr_lhs_max=tr_lhs_max, viol=viol,
             ipm_status=sol.status, ipm_iters=sol.iters)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _ref_J_aug(self, x, u, p, lam, consts):
+    # per-instance jit: a static `self` hashes by id and a GC-reused id
+    # can alias a dead instance's trace (stale baked-in constants)
+    @property
+    def _ref_J_aug(self):
+        fn = self.__dict__.get("_ref_J_aug_fn")
+        if fn is None:
+            fn = jax.jit(self._ref_J_aug_impl)
+            self.__dict__["_ref_J_aug_fn"] = fn
+        return fn
+
+    def _ref_J_aug_impl(self, x, u, p, lam, consts):
         dltv = self._discretize(x, u, p, consts)
         return (self.tmpl.original_cost(x, u, p, consts)
                 + self._nonlinear_state_penalty(x, u, p, lam, consts)), dltv

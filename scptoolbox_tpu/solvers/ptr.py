@@ -356,10 +356,16 @@ class PTR:
         outputs per scenario plus per-iteration (feas, deviation, improv_rel)
         traces. Early stopping is not applied (all scenarios run n_iters;
         converged ones sit at a fixed point, ptr.jl always-accept)."""
-        return self._solve_batched(bx, bu, bp, self.consts, n_iters)
+        fn = self.__dict__.get("_solve_batched_fn")
+        if fn is None:
+            # per-instance jit: a static `self` hashes by id and a GC-reused
+            # id can alias a dead instance's trace
+            fn = jax.jit(self._solve_batched_impl,
+                         static_argnames=("n_iters",))
+            self.__dict__["_solve_batched_fn"] = fn
+        return fn(bx, bu, bp, self.consts, n_iters=n_iters)
 
-    @functools.partial(jax.jit, static_argnums=(0, 5))
-    def _solve_batched(self, bx, bu, bp, consts, n_iters):
+    def _solve_batched_impl(self, bx, bu, bp, consts, n_iters):
         B = bx.shape[0]
         bdltv = jax.vmap(
             lambda xx, uu, pp: self._discretize(xx, uu, pp, consts)

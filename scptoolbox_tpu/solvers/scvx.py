@@ -301,8 +301,17 @@ class SCvx:
             vd_norm=vd_norm, vs_norm=vs_norm, ipm_status=sol.status,
             ipm_iters=sol.iters)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _ref_J_aug(self, x, u, p, consts):
+    # per-instance jit: a static `self` hashes by id and a GC-reused id
+    # can alias a dead instance's trace (stale baked-in constants)
+    @property
+    def _ref_J_aug(self):
+        fn = self.__dict__.get("_ref_J_aug_fn")
+        if fn is None:
+            fn = jax.jit(self._ref_J_aug_impl)
+            self.__dict__["_ref_J_aug_fn"] = fn
+        return fn
+
+    def _ref_J_aug_impl(self, x, u, p, consts):
         """Nonlinear augmented cost of a reference trajectory."""
         dltv = self._discretize(x, u, p, consts)
         return (self.tmpl.original_cost(x, u, p, consts)

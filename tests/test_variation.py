@@ -1,0 +1,88 @@
+"""KKT variational sensitivity tests (reference src/parser/variation.jl,
+exercised in reference test/core/variation.jl-style usage): directional
+solution sensitivities of solved conic programs against closed forms."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scptoolbox_tpu.parser.problem import nonpos, soc, zero
+from scptoolbox_tpu.parser.program import ConicProgram
+from scptoolbox_tpu.parser.variation import variation
+
+
+def test_active_bound_sensitivity():
+    """min (x - 2)^2 s.t. x >= theta. At theta = 3 the bound is active:
+    x*(theta) = theta, dx/dtheta = 1."""
+    prg = ConicProgram()
+    x = prg.variable("x", 1)
+    th = prg.parameter("theta", 3.0)
+    prg.add_constraint("bound", lambda xv, t: [nonpos(t - xv)], (x, th))
+    prg.add_cost(lambda xv: jnp.sum((xv - 2.0) ** 2), (x,))
+    prg.build()
+    sol = prg.solve()
+    assert float(sol.values["x"][0]) == pytest.approx(3.0, abs=1e-6)
+
+    var = variation(prg, sol, {"theta": 3.0})
+    d = var.solve({"theta": 1.0})
+    assert float(d.dvalues["x"][0]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_inactive_bound_sensitivity():
+    """Same problem at theta = 1 (bound inactive): x* = 2, dx/dtheta = 0."""
+    prg = ConicProgram()
+    x = prg.variable("x", 1)
+    th = prg.parameter("theta", 1.0)
+    prg.add_constraint("bound", lambda xv, t: [nonpos(t - xv)], (x, th))
+    prg.add_cost(lambda xv: jnp.sum((xv - 2.0) ** 2), (x,))
+    prg.build()
+    sol = prg.solve()
+    assert float(sol.values["x"][0]) == pytest.approx(2.0, abs=1e-5)
+
+    var = variation(prg, sol, {"theta": 1.0})
+    d = var.solve({"theta": 1.0})
+    assert abs(float(d.dvalues["x"][0])) < 1e-4
+
+
+def test_soc_radius_sensitivity():
+    """min c'x s.t. ||x|| <= theta: x* = -theta c/||c||,
+    dx/dtheta = -c/||c||."""
+    c_vec = np.asarray([3.0, -4.0])
+    prg = ConicProgram()
+    x = prg.variable("x", 2)
+    th = prg.parameter("theta", 2.0)
+    prg.add_constraint(
+        "ball", lambda xv, t: [soc(jnp.concatenate([t.reshape(1), xv]))],
+        (x, th))
+    prg.add_cost(lambda xv: jnp.dot(jnp.asarray(c_vec), xv), (x,))
+    prg.build()
+    sol = prg.solve()
+    expect = -2.0 * c_vec / np.linalg.norm(c_vec)
+    assert np.allclose(np.asarray(sol.values["x"]), expect, atol=1e-6)
+
+    var = variation(prg, sol, {"theta": 2.0})
+    d = var.solve({"theta": 1.0})
+    assert np.allclose(np.asarray(d.dvalues["x"]),
+                       -c_vec / np.linalg.norm(c_vec), atol=1e-3)
+
+
+def test_equality_rhs_sensitivity():
+    """min ||x||^2 s.t. a'x = theta: x* = theta a/||a||^2,
+    dx/dtheta = a/||a||^2."""
+    a = np.asarray([1.0, 2.0, -1.0])
+    prg = ConicProgram()
+    x = prg.variable("x", 3)
+    th = prg.parameter("theta", 4.0)
+    prg.add_constraint(
+        "plane", lambda xv, t: [zero((jnp.dot(jnp.asarray(a), xv)
+                                      - t).reshape(1))], (x, th))
+    prg.add_cost(lambda xv: jnp.dot(xv, xv), (x,))
+    prg.build()
+    sol = prg.solve()
+    expect = 4.0 * a / np.dot(a, a)
+    assert np.allclose(np.asarray(sol.values["x"]), expect, atol=1e-6)
+
+    var = variation(prg, sol, {"theta": 4.0})
+    d = var.solve({"theta": 1.0})
+    assert np.allclose(np.asarray(d.dvalues["x"]), a / np.dot(a, a),
+                       atol=1e-4)
