@@ -41,7 +41,12 @@ import jax
 import jax.numpy as jnp
 
 from scptoolbox_tpu.ops import cones as cn
+from scptoolbox_tpu.ops import pallas_kernels
 from scptoolbox_tpu.ops.cones import ConeSpec
+
+# Pallas KKT kernels on TPU (f32 path); set to False to fall back to XLA's
+# stock cholesky/cho_solve lowering (e.g. for A/B benchmarking).
+_PALLAS_KKT = True
 
 
 _DEBUG = False
@@ -253,6 +258,21 @@ class _SchurKKT:
         self.A_E = A[: self.nz]
         self.A_C = A[self.nz:]
         self.use_lu = jax.default_backend() == "cpu"
+        # On TPU the f32 Cholesky ladder runs as fused Pallas kernels (one
+        # grid program per scenario, matrix resident in VMEM) instead of
+        # XLA's generic loop lowering — see ops/pallas_kernels.py.
+        self.use_pallas = (not self.use_lu and A.dtype == jnp.float32
+                           and _PALLAS_KKT)
+
+    def _chol(self, M):
+        if self.use_pallas:
+            return pallas_kernels.cholesky(M)
+        return jnp.linalg.cholesky(M)
+
+    def _cho_solve(self, L, B):
+        if self.use_pallas:
+            return pallas_kernels.cho_solve(L, B)
+        return jax.scipy.linalg.cho_solve((L, True), B)
 
     def _winv2(self, W, M):
         """Apply W^-2 to columns of M ((m_C, k) or (m_C,))."""
@@ -292,12 +312,12 @@ class _SchurKKT:
             K = K.at[n:, n:].set(-self.reg_eps * jnp.eye(nz, dtype=dt))
             lu, piv = jax.scipy.linalg.lu_factor(K)
             return ("lu", (lu, piv), W)
-        L_H = jnp.linalg.cholesky(H)
-        HiAE = jax.scipy.linalg.cho_solve((L_H, True), self.A_E.T)  # (n, nz)
+        L_H = self._chol(H)
+        HiAE = self._cho_solve(L_H, self.A_E.T)  # (n, nz)
         S = self.A_E @ HiAE
         reg_s = self.reg_eps + eps_rel * jnp.abs(jnp.diagonal(S))
         S = S + jnp.diag(reg_s)
-        L_S = jnp.linalg.cholesky(S)
+        L_S = self._chol(S)
         return ("chol", (L_H, HiAE, L_S), W)
 
     def _solve_once(self, fac, rhs):
@@ -313,9 +333,8 @@ class _SchurKKT:
             dx, dzE = sol[:n], sol[n:]
         else:
             L_H, HiAE, L_S = data
-            y = jax.scipy.linalg.cho_solve((L_H, True), r1)
-            dzE = jax.scipy.linalg.cho_solve(
-                (L_S, True), self.A_E @ y - rE)
+            y = self._cho_solve(L_H, r1)
+            dzE = self._cho_solve(L_S, self.A_E @ y - rE)
             dx = y - HiAE @ dzE
         dzC = self._winv2(W, self.A_C @ dx - rC)
         return jnp.concatenate([dx, dzE, dzC], axis=0)

@@ -1,0 +1,229 @@
+"""Pallas TPU kernels for the IPM's dense KKT hot path.
+
+The reduced Schur KKT (ops/ipm.py `_SchurKKT`) spends its time in the
+Cholesky factorization of H = A_C' W^-2 A_C (n x n) and S (nz x nz) and in
+the triangular solves against them — per IPM iteration, per scenario in the
+batch (reference analog: the LDL factorization inside the ECOS C solver,
+SCPToolbox.jl src/parser/general.jl:22). XLA's `jnp.linalg.cholesky` on TPU
+lowers to a generic loop-heavy routine; these kernels keep the whole matrix
+resident in VMEM and run the factorization as one fused right-looking sweep
+per scenario, with the scenario batch vmapped onto the Pallas grid so the
+pipeline stays busy (SURVEY.md §7: "batch dimension is the saving grace").
+
+Mosaic constraints shape the implementation (pallas_guide.md):
+  * no dynamic indexing on the lane (last) dimension — columns are selected
+    with masked reductions (`sum(A * (cols == j), axis=1)`) and written back
+    with `where(cols == j, ...)` full-matrix selects;
+  * no per-step transposes — the right-looking Cholesky update needs both
+    the column (np,1) and row (1,np) forms of pivot column j, and the
+    trailing submatrix is symmetric, so the row form is read from row j
+    instead of transposing the column;
+  * rank-1 updates are broadcast outer products (np,1)*(1,np) on the VPU —
+    a k=1 MXU matmul would waste the systolic array;
+  * matrices are padded host-side to lane multiples (128) with a unit
+    diagonal on the padding, so the factor of the padded matrix embeds the
+    factor of the true one exactly;
+  * everything is f32: the TPU IPM path runs f32 end-to-end (ipm.py pins
+    matmul precision), and `_SchurKKT`'s iterative refinement against the
+    exact operator restores the accuracy a single factorization pass loses.
+
+CPU tests run these kernels in interpreter mode (interpret=True); on real
+TPU they compile via Mosaic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int = LANE) -> int:
+    return -(-x // m) * m
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _iotas(np_: int):
+    rows_v = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)   # (np, 1)
+    cols_h = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)   # (1, np)
+    return rows_v, cols_h
+
+
+# --------------------------------------------------------------------------
+# Cholesky
+# --------------------------------------------------------------------------
+
+
+def _cholesky_kernel(n: int, a_ref, l_ref):
+    """Right-looking masked Cholesky of the padded (np, np) block.
+
+    Loop invariant: after step j, columns <= j of `l_ref` hold final factor
+    columns (zero above the diagonal) and the trailing submatrix (rows and
+    cols > j) holds the downdated — still symmetric — Schur complement.
+    """
+    np_ = l_ref.shape[0]
+    l_ref[:, :] = a_ref[:, :]
+    rows_v, cols_h = _iotas(np_)
+
+    def body(j, _):
+        A = l_ref[:, :]
+        colm = (cols_h == j).astype(A.dtype)                # (1, np)
+        rowm = (rows_v == j).astype(A.dtype)                # (np, 1)
+        col = jnp.sum(A * colm, axis=1, keepdims=True)      # (np, 1) col j
+        row = jnp.sum(A * rowm, axis=0, keepdims=True)      # (1, np) row j
+        d = jnp.sum(col * rowm)                             # A[j, j]
+        dinv = jax.lax.rsqrt(d)
+        newcol = jnp.where(rows_v >= j, col * dinv, 0.0)
+        low = jnp.where(rows_v > j, col * dinv, 0.0)        # (np, 1)
+        # row j of the symmetric trailing block == column j: (1, np) form
+        lowT = jnp.where(cols_h > j, row * dinv, 0.0)       # (1, np)
+        # rank-1 downdate; rows/cols <= j of low*lowT vanish by the masks
+        A = A - low * lowT
+        l_ref[:, :] = jnp.where(cols_h == j, newcol, A)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0, unroll=False)
+
+
+def cholesky(H: jnp.ndarray, *, interpret: bool | None = None) -> jnp.ndarray:
+    """Lower Cholesky factor of an SPD matrix (n, n), n arbitrary.
+
+    vmap-compatible: a (B, n, n) input runs one grid program per matrix.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n = H.shape[-1]
+    np_ = max(_round_up(n), LANE)
+    dt = H.dtype
+    pad = np_ - n
+    Hp = jnp.pad(H, [(0, 0)] * (H.ndim - 2) + [(0, pad), (0, pad)])
+    if pad:
+        eye_pad = jnp.pad(jnp.zeros((n,), dt), (0, pad), constant_values=1.0)
+        Hp = Hp + jnp.diag(eye_pad)
+    fn = pl.pallas_call(
+        functools.partial(_cholesky_kernel, n),
+        out_shape=jax.ShapeDtypeStruct((np_, np_), dt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    for _ in range(H.ndim - 2):
+        fn = jax.vmap(fn)
+    L = fn(Hp)
+    return L[..., :n, :n]
+
+
+# --------------------------------------------------------------------------
+# Triangular solves
+# --------------------------------------------------------------------------
+
+
+def _fwd_solve_kernel(n: int, l_ref, b_ref, y_ref):
+    """Solve L Y = B for lower-triangular L (padded, unit on padding)."""
+    np_ = l_ref.shape[0]
+    k = b_ref.shape[1]
+    y_ref[:, :] = jnp.zeros_like(y_ref)
+    rows_v, cols_h = _iotas(np_)
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+
+    def body(j, _):
+        L = l_ref[:, :]
+        B = b_ref[:, :]
+        col = jnp.sum(L * (cols_h == j).astype(L.dtype), axis=1,
+                      keepdims=True)                        # (np, 1)
+        d = jnp.sum(col * (rows_v == j).astype(L.dtype))    # L[j, j]
+        rm = (rows_b == j).astype(B.dtype)                  # (np, 1)
+        yrow = jnp.sum(B * rm, axis=0, keepdims=True) / d   # (1, k)
+        # subtract col * yrow; row j of col includes the diagonal so B's
+        # row j is zeroed, harmless since yrow is already extracted
+        b_ref[:, :] = B - col * yrow
+        y_ref[:, :] = y_ref[:, :] + rm * yrow
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0, unroll=False)
+
+
+def _bwd_solve_kernel(n: int, lt_ref, b_ref, x_ref):
+    """Solve U X = B for upper-triangular U = L' (padded, unit padding)."""
+    np_ = lt_ref.shape[0]
+    x_ref[:, :] = jnp.zeros_like(x_ref)
+    rows_v, cols_h = _iotas(np_)
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+
+    def body(i, _):
+        j = n - 1 - i
+        U = lt_ref[:, :]
+        B = b_ref[:, :]
+        col = jnp.sum(U * (cols_h == j).astype(U.dtype), axis=1,
+                      keepdims=True)                        # (np, 1) col j
+        d = jnp.sum(col * (rows_v == j).astype(U.dtype))    # U[j, j]
+        rm = (rows_b == j).astype(B.dtype)
+        xrow = jnp.sum(B * rm, axis=0, keepdims=True) / d   # (1, k)
+        above = jnp.where(rows_v < j, col, 0.0)             # strict upper
+        b_ref[:, :] = B - above * xrow
+        x_ref[:, :] = x_ref[:, :] + rm * xrow
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0, unroll=False)
+
+
+def _tri_solve(kernel, T: jnp.ndarray, B: jnp.ndarray,
+               interpret: bool | None) -> jnp.ndarray:
+    """Shared padding/dispatch for the solve kernels. `T` is the (possibly
+    transposed) triangular factor; padding gets a unit diagonal."""
+    if interpret is None:
+        interpret = _interpret_default()
+    vec = B.ndim == T.ndim - 1
+    if vec:
+        B = B[..., None]
+    n = T.shape[-1]
+    k = B.shape[-1]
+    np_ = max(_round_up(n), LANE)
+    kp = max(_round_up(k), LANE)
+    dt = T.dtype
+    pad_n = np_ - n
+    Tp = jnp.pad(T, [(0, 0)] * (T.ndim - 2) + [(0, pad_n), (0, pad_n)])
+    if pad_n:
+        eye_pad = jnp.pad(jnp.zeros((n,), dt), (0, pad_n),
+                          constant_values=1.0)
+        Tp = Tp + jnp.diag(eye_pad)
+    Bp = jnp.pad(B.astype(dt),
+                 [(0, 0)] * (B.ndim - 2) + [(0, pad_n), (0, kp - k)])
+    fn = pl.pallas_call(
+        functools.partial(kernel, n),
+        out_shape=jax.ShapeDtypeStruct((np_, kp), dt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    for _ in range(T.ndim - 2):
+        fn = jax.vmap(fn)
+    Y = fn(Tp, Bp)[..., :n, :k]
+    return Y[..., 0] if vec else Y
+
+
+def solve_lower(L, B, *, interpret=None):
+    """Y with L Y = B (L lower-triangular)."""
+    return _tri_solve(_fwd_solve_kernel, L, B, interpret)
+
+
+def solve_lower_t(L, B, *, interpret=None):
+    """X with L' X = B (L lower-triangular; transposed outside the kernel —
+    one XLA transpose beats a per-step Mosaic relayout)."""
+    return _tri_solve(_bwd_solve_kernel, jnp.swapaxes(L, -1, -2), B,
+                      interpret)
+
+
+def cho_solve(L, B, *, interpret=None):
+    """Solve (L L') X = B given the lower Cholesky factor."""
+    return solve_lower_t(L, solve_lower(L, B, interpret=interpret),
+                         interpret=interpret)
