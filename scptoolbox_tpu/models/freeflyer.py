@@ -214,12 +214,16 @@ def freeflyer(mdl: FreeFlyerParameters = FreeFlyerParameters(),
         p = np.concatenate([[tf], delta.ravel()])
         return jnp.asarray(x), jnp.asarray(u), jnp.asarray(p)
 
-    # scaling advice (definition.jl:52-67): position extent, flight time,
-    # delta in [-100, 1]; unadvised variables keep the [0,1] default
+    # scaling advice exactly as the reference gives it (definition.jl:52-67):
+    # position extent, flight time, delta in [-100, 1]. Velocity, attitude,
+    # rates and inputs are left UNADVISED (NaN) so the LP auto-scaling bounds
+    # them from the X/U sets (v in +-v_max, omega in +-omega_max, T/M from
+    # the SOC bounds; the unconstrained quaternion keeps the [0,1] default) —
+    # reference scp.jl:376-517.
     min_pos = np.minimum(mdl.r0, mdl.rf)
     max_pos = np.maximum(mdl.r0, mdl.rf)
-    x_lo = np.concatenate([min_pos, np.zeros(10)])
-    x_hi = np.concatenate([max_pos, np.ones(10)])
+    x_lo = np.concatenate([min_pos, np.full(10, np.nan)])
+    x_hi = np.concatenate([max_pos, np.full(10, np.nan)])
     p_lo = np.concatenate([[mdl.tf_min], -100.0 * np.ones(N * n_iss)])
     p_hi = np.concatenate([[mdl.tf_max], np.ones(N * n_iss)])
 

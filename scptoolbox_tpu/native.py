@@ -33,10 +33,18 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "native", "ipm.cpp")
 _BUILD_DIR = os.path.join(_ROOT, "native", "build")
 _LIB = os.path.join(_BUILD_DIR, "libscptipm.so")
+_STAMP = _LIB + ".sha256"  # content hash of the ipm.cpp the .so was built from
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
+
+
+def _src_digest() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 class NativeSolution(NamedTuple):
@@ -51,11 +59,21 @@ class NativeSolution(NamedTuple):
     obj: float
 
 
-def _build() -> Optional[str]:
-    """Compile the shared library if missing/stale. Returns error or None."""
+def _build(force: bool = False) -> Optional[str]:
+    """Compile the shared library if missing/stale. Returns error or None.
+
+    Staleness is keyed on a content hash of ipm.cpp recorded next to the
+    .so (never on mtimes: after a fresh clone both files carry checkout
+    time, which would make any committed binary look permanently fresh)."""
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return None
+    digest = _src_digest()
+    if not force and os.path.exists(_LIB) and os.path.exists(_STAMP):
+        try:
+            with open(_STAMP) as f:
+                if f.read().strip() == digest:
+                    return None
+        except OSError:
+            pass
     cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", _SRC, "-o", _LIB]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
@@ -63,6 +81,8 @@ def _build() -> Optional[str]:
         return f"{type(exc).__name__}: {exc}"
     if proc.returncode != 0:
         return proc.stderr[-2000:]
+    with open(_STAMP, "w") as f:
+        f.write(digest)
     return None
 
 
@@ -75,7 +95,19 @@ def _load() -> Optional[ctypes.CDLL]:
         if err is not None:
             _build_error = err
             return None
-        lib = ctypes.CDLL(_LIB)
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError as exc:
+            # ABI-incompatible or corrupt committed binary: rebuild once
+            err = _build(force=True)
+            if err is not None:
+                _build_error = f"load failed ({exc}); rebuild failed: {err}"
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError as exc2:
+                _build_error = f"load failed after rebuild: {exc2}"
+                return None
         dptr = ctypes.POINTER(ctypes.c_double)
         iptr = ctypes.POINTER(ctypes.c_int)
         lib.scpt_ipm_solve.restype = ctypes.c_int

@@ -260,9 +260,12 @@ class _SchurKKT:
         self.use_lu = jax.default_backend() == "cpu"
         # On TPU the f32 Cholesky ladder runs as fused Pallas kernels (one
         # grid program per scenario, matrix resident in VMEM) instead of
-        # XLA's generic loop lowering — see ops/pallas_kernels.py.
-        self.use_pallas = (not self.use_lu and A.dtype == jnp.float32
-                           and _PALLAS_KKT)
+        # XLA's generic loop lowering — see ops/pallas_kernels.py. Gated on
+        # the backend being exactly 'tpu': on any other accelerator the
+        # kernels would silently run in interpreter mode (correct but orders
+        # of magnitude slower than the stock XLA path they replace).
+        self.use_pallas = (jax.default_backend() == "tpu"
+                           and A.dtype == jnp.float32 and _PALLAS_KKT)
 
     def _chol(self, M):
         if self.use_pallas:

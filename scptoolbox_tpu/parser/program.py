@@ -304,10 +304,47 @@ class ConicProgram:
                                z=sol.z, iters=sol.iters)
 
     def solve(self, tol: float = 1e-8, max_iter: int = 60,
-              **params) -> ProgramSolution:
+              backend: str = "jax", **params) -> ProgramSolution:
         """Solve with the given parameter values (jittable; re-solving with
-        new parameter values does not re-trace)."""
+        new parameter values does not re-trace).
+
+        backend="native" dispatches the assembled problem to the host C++
+        IPM (scptoolbox_tpu/native.py) — useful for micro-solves where a
+        device round trip dominates (golden-search probes, scaling LPs);
+        requires a working g++ toolchain, falls back to the JAX path
+        otherwise."""
         assert self._built, "call build() first"
         pvals = {name: jnp.asarray(params.get(name, default), self.dtype)
                  for name, (_, default) in self._pars.items()}
+        if backend == "native":
+            from scptoolbox_tpu import native
+
+            if native.available():
+                return self._solve_native(pvals, tol, max_iter)
         return self._solve_jit(pvals, tol, max_iter)
+
+    def _solve_native(self, pvals, tol, max_iter) -> ProgramSolution:
+        from scptoolbox_tpu import native
+
+        A, b, c, const = self._assemble(pvals)
+        nsol = native.solve(np.asarray(A), np.asarray(b), np.asarray(c),
+                            self.spec, tol=tol, max_iter=max_iter)
+        d = (np.asarray(self._S_full) * nsol.x + np.asarray(self._c_full))
+        values = {name: jnp.asarray(d[self.layout.sl(name)].reshape(v.shape),
+                                    self.dtype)
+                  for name, v in self._vars.items()}
+        duals = {}
+        for con in self._cons:
+            for i, po in enumerate(con.posters):
+                nm = f"{con.name}{i}"
+                if po.kind in (ConeKind.ZERO, ConeKind.NONPOS):
+                    duals[nm] = jnp.asarray(nsol.z[self.plan.rows(nm)],
+                                            self.dtype)
+                elif po.kind in (ConeKind.SOC, ConeKind.GEOM):
+                    duals[nm] = jnp.asarray(
+                        nsol.z[self.plan.rows(nm)].reshape(-1), self.dtype)
+        return ProgramSolution(
+            values=values, obj=jnp.asarray(nsol.obj, self.dtype) + const,
+            status=jnp.asarray(int(nsol.status), jnp.int32), duals=duals,
+            x=jnp.asarray(d, self.dtype), z=jnp.asarray(nsol.z, self.dtype),
+            iters=jnp.asarray(nsol.iters, jnp.int32))

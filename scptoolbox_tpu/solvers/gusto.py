@@ -49,7 +49,7 @@ from scptoolbox_tpu.ops.discretize import DiscretizationType, discretize, propag
 from scptoolbox_tpu.parser.problem import (ConeKind, TrajectoryProblem,
                                            bind_consts)
 from scptoolbox_tpu.solvers.projection import project_convex
-from scptoolbox_tpu.solvers.scaling import compute_scaling
+from scptoolbox_tpu.solvers.autoscale import solver_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
 from scptoolbox_tpu.solvers.subproblem import Assembler
 from scptoolbox_tpu.solvers.template import BlockPoster, SCPTemplate
@@ -150,7 +150,7 @@ class GuSTO:
         self._guess = (jnp.asarray(xg, self.dtype),
                        jnp.asarray(ug, self.dtype),
                        jnp.asarray(pg, self.dtype))
-        self.scaling = compute_scaling(pbm, *self._guess)
+        self.scaling = solver_scaling(pbm, *self._guess, t_grid=self.t_np, dtype=self.dtype)
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(nx, dtype=self.dtype)
 
@@ -500,6 +500,15 @@ class GuSTO:
                 status = (SCPStatus.SOLVED if not infeasible
                           else SCPStatus.FAILED)
                 break
+
+        # Reference status semantics (scp.jl:196-245): iter_max exhaustion
+        # with a cleanly-solved final subproblem is still SCP_SOLVED (the
+        # reference's freeflyer/quadrotor GuSTO tests run with eps = 0).
+        if status != SCPStatus.SOLVED and out is not None and not (
+                lam > pars.lam_max):
+            if int(out["ipm_status"]) in (int(ipm.IPMStatus.OPTIMAL),
+                                          int(ipm.IPMStatus.ALMOST_OPTIMAL)):
+                status = SCPStatus.SOLVED
 
         final = best if best is not None else out
         xd = np.asarray(final["x"])

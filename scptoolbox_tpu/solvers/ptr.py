@@ -42,7 +42,7 @@ from scptoolbox_tpu.ops.discretize import (DiscretizationType, discretize,
                                            propagate)
 from scptoolbox_tpu.parser.problem import (ConeKind, TrajectoryProblem,
                                            bind_consts)
-from scptoolbox_tpu.solvers.scaling import compute_scaling
+from scptoolbox_tpu.solvers.autoscale import solver_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
 from scptoolbox_tpu.solvers.subproblem import Assembler
 from scptoolbox_tpu.solvers.template import SCPTemplate, BlockPoster
@@ -152,7 +152,7 @@ class PTR:
         xg, ug, pg = bind_consts(pbm.guess, pbm.consts)(N)
         self._guess = (jnp.asarray(xg, self.dtype), jnp.asarray(ug, self.dtype),
                        jnp.asarray(pg, self.dtype))
-        self.scaling = compute_scaling(pbm, *self._guess)
+        self.scaling = solver_scaling(pbm, *self._guess, t_grid=self.t_np, dtype=self.dtype)
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(pbm.nx, dtype=self.dtype)  # scp.jl:149
 
@@ -327,6 +327,16 @@ class PTR:
             ref = (out["x"], out["u"], out["p"])
             dltv = out["dltv"]
             J_aug_ref = out["J_aug"]
+
+        # Reference status semantics (scp.jl:196-245 + unsafe_solution
+        # scp.jl:965-980): the solve is SCP_SOLVED as long as the FINAL
+        # subproblem solved cleanly — exhausting iter_max is not a failure
+        # (the reference's freeflyer/quadrotor tests run with eps = 0,
+        # deliberately spending the whole budget).
+        if status != SCPStatus.SOLVED and out is not None:
+            if int(out["ipm_status"]) in (int(ipm.IPMStatus.OPTIMAL),
+                                          int(ipm.IPMStatus.ALMOST_OPTIMAL)):
+                status = SCPStatus.SOLVED
 
         xd = np.asarray(out["x"])
         ud = np.asarray(out["u"])

@@ -50,15 +50,36 @@ class Scaling(NamedTuple):
 def _ranges(adv: Optional[BoundingBox], dim, dtype, eps=1e-8):
     """Advice range, else the reference's default [0, 1] bounding box
     (scp.jl:398-403: bbox initialized to [0, 1]; variables whose min/max LPs
-    are unbounded keep it), i.e. S = 1, c = 0."""
+    are unbounded keep it), i.e. S = 1, c = 0.
+
+    Per-index advice (reference problem_advise_scale! is per variable index,
+    problem.jl:263-283): NaN entries in lo/hi mean "no advice for this index"
+    and get the [0, 1] default here (the LP auto-scaling in
+    solvers/autoscale.py replaces them with computed bounds when the convex
+    sets bound them)."""
     if adv is None:
         return jnp.ones(dim, dtype), jnp.zeros(dim, dtype)
     lo = jnp.asarray(adv.lo, dtype)
     hi = jnp.asarray(adv.hi, dtype)
+    unadvised = jnp.isnan(lo) | jnp.isnan(hi)
+    lo = jnp.where(unadvised, 0.0, lo)
+    hi = jnp.where(unadvised, 1.0, hi)
     S = hi - lo
     # degenerate (zero-width) intervals scale by 1 (scp.jl zero_intvl_tol)
     S = jnp.where(S < eps, 1.0, S)
     return S, lo
+
+
+def unadvised_mask(adv: Optional[BoundingBox], dim) -> "np.ndarray":
+    """Boolean mask of indices lacking scaling advice (advice absent, or NaN
+    per-index entries)."""
+    import numpy as np
+
+    if adv is None:
+        return np.ones(dim, bool)
+    lo = np.asarray(adv.lo, float)
+    hi = np.asarray(adv.hi, float)
+    return np.isnan(lo) | np.isnan(hi)
 
 
 def compute_scaling(
