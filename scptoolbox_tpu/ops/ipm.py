@@ -428,19 +428,26 @@ def solve(
     tol_almost: float = 1e-5,
     max_iter: int = 50,
     kkt_method: Optional[str] = None,
+    kkt_builder=None,
 ) -> IPMSolution:
     """Solve  min c'x  s.t.  Ax + s = b, s in K.  Jittable; vmap over
     (A, b, c) for batched solves (spec must be shared across the batch).
+
+    kkt_builder: optional static callable (spec, A, reg_eps, cone_mask) ->
+    KKT object with factor/solve — the hook for the stage-structured
+    block-tridiagonal factorization (ops/block_kkt.py).
 
     All matmuls are pinned to full f32 precision: the TPU default (bf16
     multiply passes) is far too coarse for interior-point linear algebra."""
     with jax.default_matmul_precision("float32"):
         return _solve_impl(A, b, c, spec, tol=tol, tol_almost=tol_almost,
-                           max_iter=max_iter, kkt_method=kkt_method)
+                           max_iter=max_iter, kkt_method=kkt_method,
+                           kkt_builder=kkt_builder)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "max_iter", "kkt_method")
+    jax.jit, static_argnames=("spec", "max_iter", "kkt_method",
+                              "kkt_builder")
 )
 def _solve_impl(
     A: jnp.ndarray,
@@ -452,6 +459,7 @@ def _solve_impl(
     tol_almost: float = 1e-5,
     max_iter: int = 50,
     kkt_method: Optional[str] = None,
+    kkt_builder=None,
 ) -> IPMSolution:
     dt = A.dtype
     n = A.shape[1]
@@ -470,8 +478,8 @@ def _solve_impl(
     cone_mask = jnp.asarray(spec.cone_mask(), dt)
     e = cn.identity_elem(spec, dtype=dt)
     deg = spec.degree
-    kkt = _KKT_METHODS[kkt_method or _pick_kkt_method()](
-        spec, A, reg_eps, cone_mask)
+    builder = kkt_builder or _KKT_METHODS[kkt_method or _pick_kkt_method()]
+    kkt = builder(spec, A, reg_eps, cone_mask)
 
     norm_b = jnp.maximum(1.0, jnp.linalg.norm(b, jnp.inf))
     norm_c = jnp.maximum(1.0, jnp.linalg.norm(c, jnp.inf))

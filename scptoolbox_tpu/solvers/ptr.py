@@ -66,6 +66,7 @@ class PTRParameters:
     q_exit: float = math.inf    # exit-criterion deviation norm
     ipm_tol: float = 1e-8
     ipm_max_iter: int = 60
+    structured_kkt: object = None  # None=auto, True/False force (block_kkt)
 
 
 _Q2KIND = {1.0: ConeKind.L1, 2.0: ConeKind.SOC, math.inf: ConeKind.LINF}
@@ -156,6 +157,21 @@ class PTR:
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(pbm.nx, dtype=self.dtype)  # scp.jl:149
 
+        # stage-structured KKT (block-tridiagonal + arrow, ops/block_kkt)
+        from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
+                                                      random_dltv)
+
+        def _probe(seed):
+            rng = np.random.default_rng(seed)
+            r = lambda *sh: jnp.asarray(rng.standard_normal(sh), self.dtype)
+            dltv = random_dltv(rng, N, pbm.nx, pbm.nu, pbm.np, self.dtype)
+            A, _, _, _ = self._assemble(
+                r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv, pbm.consts)
+            return A
+
+        self._kkt_builder = build_kkt_builder(
+            tmpl, _probe, enabled=pars.structured_kkt)
+
         self._step = jax.jit(lambda rx, ru, rp, dltv, J, consts: self._step_impl(rx, ru, rp, dltv, J, consts))
 
     # ------------------------------------------------------------------
@@ -218,7 +234,8 @@ class PTR:
         sc = self.scaling
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
-                        max_iter=pars.ipm_max_iter)
+                        max_iter=pars.ipm_max_iter,
+                        kkt_builder=self._kkt_builder)
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
         J_aug = sol.obj + const

@@ -79,6 +79,7 @@ class SCvxParameters:
     ipm_tol: float = 1e-8
     ipm_max_iter: int = 60
     project_guess: bool = True
+    structured_kkt: object = None  # None=auto, True/False force (block_kkt)
 
 
 _Q2KIND = {1.0: ConeKind.L1, 2.0: ConeKind.SOC, 4.0: ConeKind.SOC,
@@ -136,6 +137,22 @@ class SCvx:
         self.scaling = solver_scaling(pbm, *self._guess, t_grid=self.t_np, dtype=self.dtype)
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(nx, dtype=self.dtype)  # scp.jl:149
+
+        from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
+                                                      random_dltv)
+
+        def _probe(seed):
+            rng = np.random.default_rng(seed)
+            r = lambda *sh: jnp.asarray(rng.standard_normal(sh), self.dtype)
+            dltv = random_dltv(rng, N, nx, nu, npp, self.dtype)
+            A, _, _, _ = self._assemble(
+                r(N, nx), r(N, nu), r(npp), dltv,
+                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
+                pbm.consts)
+            return A
+
+        self._kkt_builder = build_kkt_builder(
+            tmpl, _probe, enabled=pars.structured_kkt)
 
         self._step = jax.jit(self._step_impl, static_argnames=())
 
@@ -273,7 +290,8 @@ class SCvx:
             consts = self.consts
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
-                        max_iter=pars.ipm_max_iter)
+                        max_iter=pars.ipm_max_iter,
+                        kkt_builder=self._kkt_builder)
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
         L_sol = tmpl.original_cost(x, u, p, consts)      # linear cost (no penalty)

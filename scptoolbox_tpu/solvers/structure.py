@@ -1,0 +1,46 @@
+"""Shared stage-structure probing for the SCP solvers.
+
+Builds the static StageStructure (ops/block_kkt.py) for a solver's frozen
+subproblem template by assembling the dense A twice with random inputs and
+classifying rows/columns by stage footprint. The resulting kkt_builder is
+passed into ipm.solve so every subproblem factors the KKT with the
+block-tridiagonal + arrow sweep instead of densely."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from scptoolbox_tpu.ops.block_kkt import make_kkt_builder, probe_structure
+from scptoolbox_tpu.ops.discretize import DLTV
+
+
+def random_dltv(rng: np.random.Generator, N: int, nx: int, nu: int,
+                npp: int, dtype) -> DLTV:
+    r = lambda *sh: jnp.asarray(rng.standard_normal(sh), dtype)
+    return DLTV(A=r(N - 1, nx, nx), Bm=r(N - 1, nx, nu),
+                Bp=r(N - 1, nx, nu), F=r(N - 1, nx, npp),
+                r=r(N - 1, nx), E=r(N - 1, nx, nx),
+                defects=r(N - 1, nx), xprop=r(N - 1, nx))
+
+
+def build_kkt_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
+                      enabled=None) -> Optional[Callable]:
+    """Probe the stage structure of a frozen template. `assemble(seed)`
+    returns the dense A for random inputs drawn with that seed. Returns a
+    kkt_builder or None (dense fallback) when rows span non-adjacent
+    stages.
+
+    enabled=None (auto): use the structured factorization when the dense
+    KKT is large enough for the O(m n^2) formation to dominate the scan
+    overhead of the block sweep (n >= 600); True/False force it."""
+    if enabled is None:
+        enabled = tmpl.n >= 600
+    if not enabled:
+        return None
+    st = probe_structure(tmpl.layout, tmpl.N, tmpl.spec, assemble)
+    if st is None:
+        return None
+    return make_kkt_builder(st)

@@ -309,44 +309,84 @@ class SCPTemplate:
         ]
         # structurally-linear costs (zero Hessian) are lowered straight into
         # the objective vector: a quadratic SOC epigraph with H = 0 is a
-        # degenerate cone on which complementarity stalls (and wastes rows)
+        # degenerate cone on which complementarity stalls (and wastes rows).
+        # For genuinely quadratic costs the epigraph SOC is SLICED to the
+        # static support of (g, H): a running cost touching only u posts an
+        # (nu+2)-dim cone per node, not (nx+nu+np+2) — for problems with
+        # large parameter vectors (freeflyer: np = 1 + 6N slack variables)
+        # this removes the dominant share of all constraint rows.
         self.run_linear = False
         self.term_linear = False
+        rng = np.random.default_rng(0)
         t0j = jnp.asarray(self.t_np, self.dtype)
         if self.struct.has_run:
             run0 = bind_consts(pbm.running_cost, c0_)
+            nd_run = nx + nu + npp
 
-            def _hess_run(t, k, xv, uv):
+            def _gh_run(t, k, d0):
                 def scl(vec):
                     xx = vec[:nx]
                     uu = vec[nx:nx + nu]
                     pp = vec[nx + nu:] if npp > 0 else pg
                     return run0(t, k, xx, uu, pp)
 
-                d0 = jnp.concatenate([xv, uv] + ([pg] if npp > 0 else []))
-                return jax.hessian(scl)(d0)
+                return jax.grad(scl)(d0), jax.hessian(scl)(d0)
 
-            Hs = jax.vmap(_hess_run)(t0j, jnp.arange(N), xg, ug)
-            self.run_linear = bool(np.max(np.abs(np.asarray(Hs))) == 0.0)
+            sup = np.zeros(nd_run, bool)
+            h_any = False
+            d_base = np.concatenate(
+                [np.asarray(xg), np.asarray(ug)]
+                + ([np.broadcast_to(np.asarray(pg), (N, npp))]
+                   if npp > 0 else []), axis=1)
+            for trial in range(3):  # probe support at perturbed references
+                pert = (0.0 if trial == 0
+                        else 0.3 * rng.standard_normal(d_base.shape))
+                gs, Hs = jax.vmap(_gh_run)(
+                    t0j, jnp.arange(N),
+                    jnp.asarray(d_base + pert, self.dtype))
+                gs = np.asarray(gs)
+                Hs = np.asarray(Hs)
+                h_any = h_any or np.max(np.abs(Hs)) != 0.0
+                sup |= np.any(gs != 0.0, axis=0)
+                sup |= np.any(Hs != 0.0, axis=(0, 1))
+                sup |= np.any(Hs != 0.0, axis=(0, 2))
+            self.run_linear = not h_any
+            self.run_support = np.flatnonzero(sup)
         if self.struct.has_term:
             term0 = bind_consts(pbm.terminal_cost, c0_)
+            nd_term = nx + npp
 
-            def _scl_term(vec):
-                xx = vec[:nx]
-                pp = vec[nx:] if npp > 0 else pg
-                return term0(xx, pp)
+            def _gh_term(d0):
+                def scl(vec):
+                    xx = vec[:nx]
+                    pp = vec[nx:] if npp > 0 else pg
+                    return term0(xx, pp)
 
-            d0t = jnp.concatenate([xg[-1]] + ([pg] if npp > 0 else []))
-            Ht = jax.hessian(_scl_term)(d0t)
-            self.term_linear = bool(np.max(np.abs(np.asarray(Ht))) == 0.0)
+                return jax.grad(scl)(d0), jax.hessian(scl)(d0)
 
-        nd_run = nx + nu + npp
+            sup = np.zeros(nd_term, bool)
+            h_any = False
+            d_base = np.concatenate(
+                [np.asarray(xg[-1])] + ([np.asarray(pg)] if npp > 0 else []))
+            for trial in range(3):
+                pert = (0.0 if trial == 0
+                        else 0.3 * rng.standard_normal(nd_term))
+                gt, Ht = _gh_term(jnp.asarray(d_base + pert, self.dtype))
+                gt = np.asarray(gt)
+                Ht = np.asarray(Ht)
+                h_any = h_any or np.max(np.abs(Ht)) != 0.0
+                sup |= gt != 0.0
+                sup |= np.any(Ht != 0.0, axis=0)
+                sup |= np.any(Ht != 0.0, axis=1)
+            self.term_linear = not h_any
+            self.term_support = np.flatnonzero(sup)
+
         if self.struct.has_run and not self.run_linear:
             lay.add("t_run", N)
-            plan.soc("run_epi", N, nd_run + 2)
+            plan.soc("run_epi", N, len(self.run_support) + 2)
         if self.struct.has_term and not self.term_linear:
             lay.add("t_term")
-            plan.soc("term_epi", 1, nx + npp + 2)
+            plan.soc("term_epi", 1, len(self.term_support) + 2)
         self.layout = lay
         self.plan = plan
 
@@ -521,52 +561,82 @@ class SCPTemplate:
 
         # ---- original cost epigraphs (J_orig enters c via t_run/t_term) ----
         if self.struct.has_run:
-            nd = nx + nu + npp
-
-            def qf(t, k, x, u):
-                def scalar(vec):
-                    xx, uu, pp = (vec[:nx], vec[nx:nx + nu], vec[nx + nu:])
-                    pp = pp if npp > 0 else ref_p
-                    return run_fn(t, k, xx, uu, pp)
-
-                d0 = jnp.concatenate(
-                    [x, u] + ([ref_p] if npp > 0 else []))
-                return (scalar(d0), jax.grad(scalar)(d0),
-                        jax.hessian(scalar)(d0), d0)
-
-            c0, g, H, d0 = jax.vmap(qf)(ts, ks, ref_x, ref_u)
+            w = jnp.asarray(self.w_trapz, dt)
             d_cols = np.concatenate(
                 [x_idx, u_idx, np.broadcast_to(p_idx, (N, npp))], axis=1
             ) if npp > 0 else np.concatenate([x_idx, u_idx], axis=1)
-            w = jnp.asarray(self.w_trapz, dt)
             if self.run_linear:
+                def qf(t, k, x, u):
+                    def scalar(vec):
+                        xx, uu = vec[:nx], vec[nx:nx + nu]
+                        pp = vec[nx + nu:] if npp > 0 else ref_p
+                        return run_fn(t, k, xx, uu, pp)
+
+                    d0 = jnp.concatenate(
+                        [x, u] + ([ref_p] if npp > 0 else []))
+                    return scalar(d0), jax.grad(scalar)(d0), d0
+
+                c0, g, d0 = jax.vmap(qf)(ts, ks, ref_x, ref_u)
                 # structurally-linear running cost: straight into c (no cone)
                 asm.add_c(d_cols, w[:, None] * g)
                 asm.add_const(jnp.dot(
                     w, c0 - jnp.einsum("ki,ki->k", g, d0)))
             else:
+                # quadratic: epigraph SOC over the STATIC SUPPORT of (g, H)
+                # only — off-support coordinates have identically zero
+                # derivatives, so fixing them at the reference is exact
+                sup = self.run_support
+                ns_ = len(sup)
+
+                def qf(t, k, x, u):
+                    d_full = jnp.concatenate(
+                        [x, u] + ([ref_p] if npp > 0 else []))
+
+                    def scalar_s(vec_s):
+                        d = d_full.at[sup].set(vec_s)
+                        xx, uu = d[:nx], d[nx:nx + nu]
+                        pp = d[nx + nu:] if npp > 0 else ref_p
+                        return run_fn(t, k, xx, uu, pp)
+
+                    d0s = d_full[sup]
+                    return (scalar_s(d0s), jax.grad(scalar_s)(d0s),
+                            jax.hessian(scalar_s)(d0s), d0s)
+
+                c0, g, H, d0 = jax.vmap(qf)(ts, ks, ref_x, ref_u)
                 post_quadratic_epigraphs(
-                    asm, plan.rows("run_epi"), d_cols,
+                    asm, plan.rows("run_epi"), d_cols[:, sup],
                     lay.idx("t_run").reshape(-1), H, g, c0, d0)
                 asm.add_c(lay.idx("t_run"), w)
         if self.struct.has_term:
-            def scalar(vec):
-                xx, pp = vec[:nx], vec[nx:]
-                pp = pp if npp > 0 else ref_p
-                return term_fn(xx, pp)
-
-            d0 = jnp.concatenate([ref_x[-1]] + ([ref_p] if npp > 0 else []))
-            c0 = scalar(d0)
-            g = jax.grad(scalar)(d0)
             d_cols = (np.concatenate([x_idx[-1], p_idx])
                       if npp > 0 else x_idx[-1])
+            d_full = jnp.concatenate(
+                [ref_x[-1]] + ([ref_p] if npp > 0 else []))
             if self.term_linear:
+                def scalar(vec):
+                    xx = vec[:nx]
+                    pp = vec[nx:] if npp > 0 else ref_p
+                    return term_fn(xx, pp)
+
+                c0 = scalar(d_full)
+                g = jax.grad(scalar)(d_full)
                 asm.add_c(d_cols, g)
-                asm.add_const(c0 - jnp.dot(g, d0))
+                asm.add_const(c0 - jnp.dot(g, d_full))
             else:
-                H = jax.hessian(scalar)(d0)
+                sup = self.term_support
+
+                def scalar_s(vec_s):
+                    d = d_full.at[sup].set(vec_s)
+                    xx = d[:nx]
+                    pp = d[nx:] if npp > 0 else ref_p
+                    return term_fn(xx, pp)
+
+                d0 = d_full[sup]
+                c0 = scalar_s(d0)
+                g = jax.grad(scalar_s)(d0)
+                H = jax.hessian(scalar_s)(d0)
                 post_quadratic_epigraphs(
-                    asm, plan.rows("term_epi"), d_cols[None, :],
+                    asm, plan.rows("term_epi"), d_cols[sup][None, :],
                     lay.idx("t_term").reshape(1), H[None], g[None], c0[None],
                     d0[None])
                 asm.add_c(lay.idx("t_term").reshape(1), jnp.ones(1, dt))
