@@ -161,13 +161,15 @@ class PTR:
         from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
                                                       random_dltv)
 
+        _asm_probe = jax.jit(
+            lambda rx, ru, rp, dltv: self._assemble(
+                rx, ru, rp, dltv, pbm.consts)[0])
+
         def _probe(seed):
             rng = np.random.default_rng(seed)
             r = lambda *sh: jnp.asarray(rng.standard_normal(sh), self.dtype)
             dltv = random_dltv(rng, N, pbm.nx, pbm.nu, pbm.np, self.dtype)
-            A, _, _, _ = self._assemble(
-                r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv, pbm.consts)
-            return A
+            return _asm_probe(r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv)
 
         self._kkt_builder = build_kkt_builder(
             tmpl, _probe, enabled=pars.structured_kkt)

@@ -141,15 +141,17 @@ class SCvx:
         from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
                                                       random_dltv)
 
+        _asm_probe = jax.jit(
+            lambda rx, ru, rp, dltv, eta: self._assemble(
+                rx, ru, rp, dltv, eta, pbm.consts)[0])
+
         def _probe(seed):
             rng = np.random.default_rng(seed)
             r = lambda *sh: jnp.asarray(rng.standard_normal(sh), self.dtype)
             dltv = random_dltv(rng, N, nx, nu, npp, self.dtype)
-            A, _, _, _ = self._assemble(
+            return _asm_probe(
                 r(N, nx), r(N, nu), r(npp), dltv,
-                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
-                pbm.consts)
-            return A
+                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype))
 
         self._kkt_builder = build_kkt_builder(
             tmpl, _probe, enabled=pars.structured_kkt)
