@@ -174,6 +174,10 @@ class TrajectoryProblem:
     urg: Optional[BoundingBox] = None
     prg: Optional[BoundingBox] = None
     callback: Optional[Callable] = None
+    # force hard enforcement of the convex state set X even under GuSTO
+    # (reference problem.jl `force_hard`; GuSTO otherwise relaxes X with
+    # indicator variables and soft penalties, problem.jl:686-807)
+    force_hard: bool = False
 
     def dims(self) -> Tuple[int, int, int]:
         return self.nx, self.nu, self.np

@@ -81,6 +81,7 @@ class GuSTOParameters:
     eps_rel: float = 1e-4
     feas_tol: float = 1e-3
     pen: str = "quad"          # :softplus (EXP cones) is a later round
+    structured_kkt: object = None  # None=auto, True/False force (block_kkt)
     hom: float = 100.0
     q_tr: float = math.inf
     q_exit: float = math.inf
@@ -116,9 +117,19 @@ class GuSTO:
         N = pars.N
         nx, npp = pbm.nx, pbm.np
         self.t_np = np.linspace(0.0, 1.0, N)
+        # state set X is relaxed with indicator variables unless force_hard
+        # (reference define_conic_constraint!, problem.jl:686-807); the
+        # input set U stays hard (problem.jl:534-542)
         tmpl = SCPTemplate(pbm, N, self.t_np, relax_dynamics=False,
-                           relax_bcs=False, dtype=self.dtype)
+                           relax_bcs=False, soft_X=not pbm.force_hard,
+                           dtype=self.dtype)
         lay, plan = tmpl.layout, tmpl.plan
+        self.n_qX = tmpl.n_qX if tmpl.soft_X else 0
+        if self.n_qX:
+            # v_qX >= max(0, qX): slacks feeding the quadratic penalty
+            lay.add("v_qX", N, self.n_qX)
+            plan.nonneg("v_qX_nn", N * self.n_qX)
+            plan.nonneg("v_qX_ge", N * self.n_qX)
 
         q = pars.q_tr
         kind = _Q2KIND[float(q)]
@@ -139,7 +150,8 @@ class GuSTO:
         else:
             plan.nonneg("tr_bound", N)
         # single quadratic epigraph for the lambda-weighted penalties
-        n_pen = N + (N * tmpl.struct.ns if tmpl.struct.ns else 0)
+        n_pen = (N + (N * tmpl.struct.ns if tmpl.struct.ns else 0)
+                 + N * self.n_qX)
         lay.add("t_pen")
         plan.soc("pen_epi", 1, n_pen + 2)
         self.spec = tmpl.freeze()
@@ -153,6 +165,25 @@ class GuSTO:
         self.scaling = solver_scaling(pbm, *self._guess, t_grid=self.t_np, dtype=self.dtype)
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(nx, dtype=self.dtype)
+
+        from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
+                                                      random_dltv)
+
+        _asm_probe = jax.jit(
+            lambda rx, ru, rp, dltv, eta, lam: self._assemble(
+                rx, ru, rp, dltv, eta, lam, pbm.consts)[0])
+
+        def _probe(seed):
+            rng = np.random.default_rng(seed)
+            r = lambda *sh: jnp.asarray(rng.standard_normal(sh), self.dtype)
+            dltv = random_dltv(rng, N, nx, pbm.nu, npp, self.dtype)
+            return _asm_probe(
+                r(N, nx), r(N, pbm.nu), r(npp), dltv,
+                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
+                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype))
+
+        self._kkt_builder = build_kkt_builder(
+            tmpl, _probe, enabled=pars.structured_kkt)
 
         self._step = jax.jit(self._step_impl, static_argnames=())
 
@@ -257,6 +288,22 @@ class GuSTO:
         if ns:
             pen_cols.append(np.asarray(lay.idx("vs")).reshape(N * ns))
             pen_scale.append(jnp.repeat(sw, ns))
+        if self.n_qX:
+            # v_qX >= qX, v_qX >= 0 (soft state-set indicators)
+            nq = self.n_qX
+            vq = lay.idx("v_qX").reshape(N * nq)
+            qx_cols = np.concatenate(
+                [np.asarray(lay.idx(f"qX{i}")).reshape(N, -1)
+                 for i in range(len(tmpl.struct.X_kinds))], axis=1
+            ).reshape(N * nq)
+            r = plan.rows("v_qX_nn")
+            asm.add_A(r, vq, -jnp.eye(N * nq, dtype=dt))
+            r = plan.rows("v_qX_ge").reshape(N * nq, 1)
+            asm.add_A(r, np.stack([qx_cols, vq], axis=1),
+                      jnp.broadcast_to(jnp.asarray([1.0, -1.0], dt),
+                                       (N * nq, 1, 2)))
+            pen_cols.append(vq)
+            pen_scale.append(jnp.repeat(sw, nq))
         cols = np.concatenate(pen_cols)
         scale_v = jnp.concatenate(pen_scale)
         n_pen = cols.shape[0]
@@ -291,6 +338,10 @@ class GuSTO:
                             )(ts, ks, x, u)
             pen = pen + lam * (w @ jnp.sum(jnp.maximum(sval, 0.0) ** 2,
                                            axis=1))
+        if self.n_qX:
+            qx = tmpl.X_indicators(x, p, consts)     # (N, n_qX)
+            pen = pen + lam * (w @ jnp.sum(jnp.maximum(qx, 0.0) ** 2,
+                                           axis=1))
         return pen
 
     def _dyn_error(self, ref_x, ref_u, ref_p, x, u, p):
@@ -320,7 +371,8 @@ class GuSTO:
             consts = self.consts
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
-                        max_iter=pars.ipm_max_iter)
+                        max_iter=pars.ipm_max_iter,
+                        kkt_builder=self._kkt_builder)
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
         L = tmpl.original_cost(x, u, p, consts)
@@ -363,6 +415,9 @@ class GuSTO:
             sval = jax.vmap(lambda t, k, xx, uu: bind_consts(self.pbm.s, consts)(t, k, xx, uu, p)
                             )(ts, ks, x, u)
             viol = jnp.max(sval)
+        if self.n_qX:
+            viol = jnp.maximum(
+                viol, jnp.max(tmpl.X_indicators(x, p, consts)))
 
         return dict(
             x=x, u=u, p=p, dltv=dltv_new, L=L, L_aug=L_aug, J_aug=J_aug,

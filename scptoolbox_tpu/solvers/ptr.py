@@ -300,6 +300,7 @@ class PTR:
         history = []
         status = SCPStatus.FAILED
         out = None
+        last_good = None
         n_iter = 0
         # iteration budget extendable by the user callback (the reference's
         # homotopy callback grows pars.iter_max mid-solve so each homotopy
@@ -315,6 +316,14 @@ class PTR:
             deviation = float(out["deviation"])
             improv_rel = float(out["improv_rel"])
             n_iter = it + 1
+            # emergency exit (reference unsafe_solution + the break in
+            # ptr.jl:486-491): a numerically-dead subproblem (NaN cost) must
+            # not be accepted as the next reference — stop and keep the last
+            # finite iterate
+            if not np.isfinite(J_aug):
+                out = last_good
+                break
+            last_good = out
             rec = IterationRecord(
                 iteration=n_iter,
                 x=np.asarray(out["x"]), u=np.asarray(out["u"]),
@@ -347,6 +356,11 @@ class PTR:
             dltv = out["dltv"]
             J_aug_ref = out["J_aug"]
 
+        if out is None:
+            from scptoolbox_tpu.config import SCPError
+
+            raise SCPError(SCPStatus.FAILED,
+                           "PTR: first subproblem numerically dead")
         # Reference status semantics (scp.jl:196-245 + unsafe_solution
         # scp.jl:965-980): the solve is SCP_SOLVED as long as the FINAL
         # subproblem solved cleanly — exhausting iter_max is not a failure

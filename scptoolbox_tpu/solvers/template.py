@@ -230,8 +230,9 @@ class SCPTemplate:
 
     def __init__(self, pbm: TrajectoryProblem, N: int, t_grid: np.ndarray,
                  *, relax_dynamics: bool = True, relax_bcs: bool = True,
-                 dtype=jnp.float64):
+                 soft_X: bool = False, dtype=jnp.float64):
         self.pbm = pbm
+        self.soft_X = bool(soft_X) and pbm.X is not None
         self.N = int(N)
         self.t_np = np.asarray(t_grid, dtype=np.float64)
         self.w_trapz = trapezoid_weights(self.t_np)
@@ -299,10 +300,41 @@ class SCPTemplate:
             lay.add("vs", N, ns)
             plan.nonneg("ncvx", N * ns)
             plan.nonneg("vs_nn", N * ns)
-        self._X_posters = [
-            BlockPoster(f"X{i}", k, d, N, lay, plan)
-            for i, (k, d) in enumerate(zip(Xk, Xd))
-        ]
+        if not self.soft_X:
+            self._X_posters = [
+                BlockPoster(f"X{i}", k, d, N, lay, plan)
+                for i, (k, d) in enumerate(zip(Xk, Xd))
+            ]
+        else:
+            # GuSTO soft state set: per-cone indicator variables q with
+            # q <= 0 iff the residual is in the cone (reference
+            # indicator!/define_conic_constraint!, cone.jl:269-320,
+            # problem.jl:686-807): ZERO/NONPOS get a vector q (z - q <= 0,
+            # plus -z - q <= 0 for ZERO); norm cones a scalar q shifting
+            # the epigraph head ((t + q, x) in K).
+            self._X_posters = []
+            self.n_qX = 0  # indicator slots per node
+            for i, (k, d) in enumerate(zip(Xk, Xd)):
+                if k == ConeKind.NONPOS:
+                    lay.add(f"qX{i}", N, d)
+                    posters = (BlockPoster(f"X{i}", ConeKind.NONPOS, d, N,
+                                           lay, plan),)
+                    self.n_qX += d
+                elif k == ConeKind.ZERO:
+                    lay.add(f"qX{i}", N, d)
+                    posters = (BlockPoster(f"X{i}a", ConeKind.NONPOS, d, N,
+                                           lay, plan),
+                               BlockPoster(f"X{i}b", ConeKind.NONPOS, d, N,
+                                           lay, plan))
+                    self.n_qX += d
+                elif k in (ConeKind.SOC, ConeKind.L1, ConeKind.LINF):
+                    lay.add(f"qX{i}", N)
+                    posters = (BlockPoster(f"X{i}", k, d, N, lay, plan),)
+                    self.n_qX += 1
+                else:
+                    raise NotImplementedError(
+                        f"soft state-set relaxation for cone {k}")
+                self._X_posters.append(posters)
         self._U_posters = [
             BlockPoster(f"U{i}", k, d, N, lay, plan)
             for i, (k, d) in enumerate(zip(Uk, Ud))
@@ -473,9 +505,7 @@ class SCPTemplate:
         asm.add_b(rows, dltv.r)
 
         # ---- convex state/input sets ----
-        def post_sets(fn, posters, z_ref, z_idx):
-            if not posters:
-                return
+        def affine_sets(fn, z_ref, z_idx):
             nz = z_ref.shape[1]
 
             def stacked(t, k, z, p):
@@ -494,14 +524,54 @@ class SCPTemplate:
             cols = np.concatenate(
                 [z_idx, np.broadcast_to(p_idx, (N, npp))], axis=1
             ) if npp > 0 else z_idx
+            return cols, J, v0
+
+        def post_sets(fn, posters, z_ref, z_idx):
+            if not posters:
+                return
+            cols, J, v0 = affine_sets(fn, z_ref, z_idx)
             off = 0
             for po in posters:
                 po.post(asm, plan, lay, cols,
                         J[:, off:off + po.dim, :], v0[:, off:off + po.dim])
                 off += po.dim
 
+        def post_sets_soft(fn, z_ref, z_idx):
+            """Soft state-set posting with indicator variables (reference
+            define_conic_constraint! soft branch, problem.jl:706-807)."""
+            cols, J, v0 = affine_sets(fn, z_ref, z_idx)
+            nc = cols.shape[1]
+            off = 0
+            for i, (kind, d) in enumerate(
+                    zip(self.struct.X_kinds, self.struct.X_dims)):
+                q_idx = lay.idx(f"qX{i}").reshape(N, -1)  # (N, d) or (N, 1)
+                cols_q = np.concatenate([cols, q_idx], axis=1)
+                Ji = J[:, off:off + d, :]
+                v0i = v0[:, off:off + d]
+                if kind == ConeKind.NONPOS:
+                    eye = jnp.broadcast_to(-jnp.eye(d, dtype=dt), (N, d, d))
+                    self._X_posters[i][0].post(
+                        asm, plan, lay, cols_q,
+                        jnp.concatenate([Ji, eye], axis=2), v0i)
+                elif kind == ConeKind.ZERO:
+                    eye = jnp.broadcast_to(-jnp.eye(d, dtype=dt), (N, d, d))
+                    pa, pb = self._X_posters[i]
+                    pa.post(asm, plan, lay, cols_q,
+                            jnp.concatenate([Ji, eye], axis=2), v0i)
+                    pb.post(asm, plan, lay, cols_q,
+                            jnp.concatenate([-Ji, eye], axis=2), -v0i)
+                else:  # SOC / L1 / LINF: (t + q, x) in K
+                    e0 = jnp.zeros((N, d, 1), dt).at[:, 0, 0].set(1.0)
+                    self._X_posters[i][0].post(
+                        asm, plan, lay, cols_q,
+                        jnp.concatenate([Ji, e0], axis=2), v0i)
+                off += d
+
         if pbm.X:
-            post_sets(X_fn, self._X_posters, ref_x, x_idx)
+            if self.soft_X:
+                post_sets_soft(X_fn, ref_x, x_idx)
+            else:
+                post_sets(X_fn, self._X_posters, ref_x, x_idx)
         if pbm.U:
             post_sets(U_fn, self._U_posters, ref_u, u_idx)
 
@@ -640,6 +710,42 @@ class SCPTemplate:
                     lay.idx("t_term").reshape(1), H[None], g[None], c0[None],
                     d0[None])
                 asm.add_c(lay.idx("t_term").reshape(1), jnp.ones(1, dt))
+
+    # -- numerical soft-set indicators (cone.jl:275-292 numerical mode) -----
+
+    def X_indicators(self, x, p, consts=None):
+        """Numerical indicator values of the soft state set at the nodes:
+        (N, n_qX), one slot per indicator variable; q <= 0 iff the residual
+        lies in its cone (reference indicator! numerical branch)."""
+        assert self.soft_X
+        pbm = self.pbm
+        if consts is None:
+            consts = pbm.consts
+        X_fn = bind_consts(pbm.X, consts)
+        dt = self.dtype
+        ts = jnp.asarray(self.t_np, dt)
+        ks = jnp.arange(self.N)
+
+        def per_node(t, k, xx):
+            cons = X_fn(t, k, xx, p)
+            parts = []
+            for c in cons:
+                v = c.v.reshape(-1)
+                if c.kind == ConeKind.NONPOS:
+                    parts.append(v)
+                elif c.kind == ConeKind.ZERO:
+                    parts.append(jnp.abs(v))
+                elif c.kind == ConeKind.SOC:
+                    parts.append((jnp.linalg.norm(v[1:]) - v[0])[None])
+                elif c.kind == ConeKind.L1:
+                    parts.append((jnp.sum(jnp.abs(v[1:])) - v[0])[None])
+                elif c.kind == ConeKind.LINF:
+                    parts.append((jnp.max(jnp.abs(v[1:])) - v[0])[None])
+                else:
+                    raise NotImplementedError(c.kind)
+            return jnp.concatenate(parts)
+
+        return jax.vmap(per_node)(ts, ks, x)
 
     # -- numerical original cost (for stopping metrics / reporting) ---------
 
