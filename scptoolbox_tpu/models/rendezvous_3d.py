@@ -248,18 +248,24 @@ def rendezvous_3d(
                 + mdl.gamma_c * u[ID_RCS_EQ] / mdl.imp_min)
 
     def X(t, k, x, p):
-        # terminal docking tolerances, applied at the last node only
-        # (definition.jl:346-423 `if k == N`): mask by the traced node index
+        # terminal docking tolerances (definition.jl:346-423 `if k == N`).
+        # The parameter-only tolerance boxes (drf/dvf/dwf in LINF balls,
+        # drf[0] = 0) are node-independent, so they are posted UNMASKED at
+        # every node — identical feasible set, and no identically-zero
+        # masked rows (a masked zero/tight row has no strict interior and
+        # starves the IPM's central path). The only state-dependent row
+        # (attitude alignment) keeps the terminal mask but is shifted
+        # strictly feasible at the other nodes.
         last = jnp.where(k == N - 1, 1.0, 0.0)
         dtol = p[ID_DOCK_TOL]
         drf, dvf, dwf = dtol[0:3], dtol[3:6], dtol[10:13]
         qk = x[ID_Q]
         return [
-            linf(jnp.concatenate([jnp.asarray([mdl.rf_tol]), last * drf])),
-            zero((last * drf[0])[None]),
-            linf(jnp.concatenate([jnp.asarray([mdl.vf_tol]), last * dvf])),
-            nonpos((last * (cos_ang_tol - jnp.dot(qk, qf)))[None]),
-            linf(jnp.concatenate([jnp.asarray([wf_tol]), last * dwf])),
+            linf(jnp.concatenate([jnp.asarray([mdl.rf_tol]), drf])),
+            linf(jnp.concatenate([jnp.asarray([mdl.vf_tol]), dvf])),
+            nonpos((last * (cos_ang_tol - jnp.dot(qk, qf))
+                    - (1.0 - last))[None]),
+            linf(jnp.concatenate([jnp.asarray([wf_tol]), dwf])),
         ]
 
     def U(t, k, u, p):
@@ -319,9 +325,12 @@ def rendezvous_3d(
         return x - jnp.concatenate([r0, v0, q0, jnp.zeros(3)])
 
     def gtc(x, p):
-        # x + dock_tol == terminal pose (definition.jl:734-762)
+        # x + dock_tol == terminal pose (definition.jl:734-762), plus the
+        # axial-position tolerance pinned to zero (drf[0] = 0; posted here
+        # as a global equality instead of a masked per-node zero row)
         rhs = jnp.concatenate([rf_vec, vf, qf, jnp.zeros(3)])
-        return x + p[ID_DOCK_TOL] - rhs
+        return jnp.concatenate(
+            [x + p[ID_DOCK_TOL] - rhs, p[ID_DOCK_TOL][0][None]])
 
     def actions(x):
         q = x[ID_Q]
@@ -388,7 +397,8 @@ def solve_rendezvous_3d(
         pars = ptr.PTRParameters(
             N=N, Nsub=10, iter_max=30,
             disc_method=DiscretizationType.IMPULSE,
-            wvc=1e4, wtr=5e0, eps_abs=-np.inf, eps_rel=1e-5, feas_tol=5e-3)
+            wvc=1e4, wtr=5e0, eps_abs=-np.inf, eps_rel=1e-5, feas_tol=5e-3,
+            ipm_max_iter=100)  # reference runs ECOS with maxit=1000
     solver = ptr.PTR(pbm, pars)
     hom_grid = mdl.hom_grid()
     state = {"i": 0, "last_update": 0}

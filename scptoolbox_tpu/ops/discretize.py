@@ -151,13 +151,20 @@ def discretize(
         """Integrate the variational system across one interval.
 
         The STM Phi is always propagated from the identity (the pure flow
-        map); for IMPULSE the state-jump linearization
-        dx+ = (I+Jx) dx + Ju du + Jp dp is composed afterwards:
-        A_k = PhiF (I+Jx), Bm_k = PhiF Ju, F_k = PhiF (Jp + intPsiF).
+        map). For IMPULSE the jump enters through its INPUT Jacobian only:
+        A_k = PhiF, Bm_k = PhiF Ju, F_k = PhiF (Jp + intPsiF) — matching
+        the reference (set_update_matrices, discretization.jl:385-391:
+        A_k = Phi, B_k = Phi B(t_k)), which deliberately OMITS the jump's
+        state Jacobian. Including it (the 'more accurate' AD superset)
+        exposes first-order exploits of the jump's state dependence to the
+        subproblem — e.g. the rendezvous_3d thrust rotation R(q) u scales
+        with ||q||^2, so the linearized model rewards inflating the
+        quaternion off the unit sphere, which diverges under re-linearization
+        (r2 root-cause of the rendezvous_3d runaway).
         """
         if is_impulse:
             jump = impulse(t_k, x_k, u_k, p_ref)
-            Jx, Ju, Jp = jax.jacfwd(impulse, argnums=(1, 2, 3))(
+            Ju, Jp = jax.jacfwd(impulse, argnums=(2, 3))(
                 t_k, x_k, u_k, p_ref
             )
             x_start = x_k + jump
@@ -210,7 +217,7 @@ def discretize(
 
         PhiF = s_end.Phi  # pure flow STM over the interval
         if is_impulse:
-            A_k = PhiF @ (eye + Jx)
+            A_k = PhiF
             Bm_k = PhiF @ Ju
             Bp_k = jnp.zeros((nx, nu), x_k.dtype)
             F_k = PhiF @ (Jp + s_end.F)

@@ -67,6 +67,7 @@ class PTRParameters:
     ipm_tol: float = 1e-8
     ipm_max_iter: int = 60
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
+    timing_detail: bool = False  # per-phase timing dict (scp.jl:990-995)
 
 
 _Q2KIND = {1.0: ConeKind.L1, 2.0: ConeKind.SOC, math.inf: ConeKind.LINF}
@@ -228,16 +229,17 @@ class PTR:
 
         return asm.finish(self._S_full, self._c_full)
 
-    def _step_impl(self, ref_x, ref_u, ref_p, dltv, J_aug_ref, consts=None):
-        """One full PTR iteration on device."""
+    def _solve_sub(self, A, b, c):
+        return ipm.solve(A, b, c, self.spec, tol=self.pars.ipm_tol,
+                         max_iter=self.pars.ipm_max_iter,
+                         kkt_builder=self._kkt_builder)
+
+    def _postprocess(self, sol, const, ref_x, ref_u, ref_p, J_aug_ref,
+                     consts):
+        """Extract the solution, re-discretize around it, compute the
+        stopping metrics (the part of the step after the subproblem solve)."""
         pars, tmpl = self.pars, self.tmpl
-        if consts is None:
-            consts = self.consts
         sc = self.scaling
-        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, consts)
-        sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
-                        max_iter=pars.ipm_max_iter,
-                        kkt_builder=self._kkt_builder)
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
         J_aug = sol.obj + const
@@ -266,6 +268,41 @@ class PTR:
             defect_norm=defect_norm, vd_norm=vd_norm, vs_norm=vs_norm,
             eta_max=jnp.max(eta_x), ipm_status=sol.status,
             ipm_iters=sol.iters, pres=sol.pres, dres=sol.dres)
+
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, J_aug_ref, consts=None):
+        """One full PTR iteration on device (fused path)."""
+        if consts is None:
+            consts = self.consts
+        A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, consts)
+        sol = self._solve_sub(A, b, c)
+        return self._postprocess(sol, const, ref_x, ref_u, ref_p, J_aug_ref,
+                                 consts)
+
+    def _step_timed(self, ref_x, ref_u, ref_p, dltv, J_aug_ref, consts):
+        """Split-phase step with the reference's per-iteration timing keys
+        {formulate, discretize, solve, total, overhead} (scp.jl:990-995;
+        ptr.jl:220). Two extra device round trips vs the fused step — used
+        when PTRParameters.timing_detail is set."""
+        fns = self.__dict__.get("_timed_fns")
+        if fns is None:
+            fns = (jax.jit(lambda *a: self._assemble(*a)),
+                   jax.jit(self._solve_sub),
+                   jax.jit(self._postprocess))
+            self.__dict__["_timed_fns"] = fns
+        f_asm, f_sol, f_post = fns
+        t0 = time.perf_counter()
+        A, b, c, const = jax.block_until_ready(
+            f_asm(ref_x, ref_u, ref_p, dltv, consts))
+        t1 = time.perf_counter()
+        sol = jax.block_until_ready(f_sol(A, b, c))
+        t2 = time.perf_counter()
+        out = jax.block_until_ready(
+            f_post(sol, const, ref_x, ref_u, ref_p, J_aug_ref, consts))
+        t3 = time.perf_counter()
+        timing = {"formulate": t1 - t0, "solve": t2 - t1,
+                  "discretize": t3 - t2, "total": t3 - t0,
+                  "overhead": 0.0}
+        return out, timing
 
     # ------------------------------------------------------------------
 
@@ -310,7 +347,12 @@ class PTR:
         while it + 1 < pars.iter_max + self.extra_iters:
             it += 1
             t0 = time.perf_counter()
-            out = self._step(*ref, dltv, J_aug_ref, self.consts)
+            if pars.timing_detail:
+                out, timing = self._step_timed(*ref, dltv, J_aug_ref,
+                                               self.consts)
+            else:
+                out = self._step(*ref, dltv, J_aug_ref, self.consts)
+                timing = None
             J_aug = float(out["J_aug"])
             feas = bool(out["feas"])
             deviation = float(out["deviation"])
@@ -334,7 +376,11 @@ class PTR:
                 ipm_iters=int(out["ipm_iters"]),
                 defect_norm=float(out["defect_norm"]),
                 vd_norm=float(out["vd_norm"]), vs_norm=float(out["vs_norm"]),
-                timing={"total": time.perf_counter() - t0})
+                timing=(dict(timing,
+                             overhead=(time.perf_counter() - t0
+                                       - timing["total"]))
+                        if timing else
+                        {"total": time.perf_counter() - t0}))
             history.append(rec)
             if table:
                 table.print_row(dict(

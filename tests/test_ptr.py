@@ -96,3 +96,21 @@ def test_trust_region_norms(q_tr):
     assert sol.status == SCPStatus.SOLVED, f"q_tr={q_tr}"
     J_star, _ = min_energy_oracle(mdl.T, mdl.g, mdl.s)
     assert sol.cost == pytest.approx(J_star, rel=5e-2)
+
+
+def test_timing_detail():
+    """Per-iteration timing split with the reference's keys
+    {formulate, discretize, solve, total, overhead} (scp.jl:990-995)."""
+    from scptoolbox_tpu.models.double_integrator import double_integrator
+    from scptoolbox_tpu.solvers import ptr as ptr_mod
+
+    pbm = double_integrator()
+    pars = ptr_mod.PTRParameters(N=12, Nsub=6, iter_max=3,
+                                 timing_detail=True)
+    sol = ptr_mod.solve(pbm, pars)
+    for rec in sol.history:
+        for key in ("formulate", "discretize", "solve", "total", "overhead"):
+            assert key in rec.timing
+        assert rec.timing["total"] > 0
+        assert (rec.timing["formulate"] + rec.timing["solve"]
+                + rec.timing["discretize"]) <= rec.timing["total"] + 1e-9
