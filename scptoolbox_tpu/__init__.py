@@ -20,7 +20,7 @@ Design (not a port):
     variational equations (ops/discretize.py) with no per-step matrix
     inverses (direct integration of the convolution integrals).
   * SCP outer loops are jittable iterations; batched solves shard across a
-    jax.sharding.Mesh with psum'd convergence bookkeeping (parallel/).
+    jax.sharding.Mesh (parallel/).
 """
 
 from scptoolbox_tpu.config import SCPStatus, SCPError

@@ -375,13 +375,15 @@ class StructuredKKT:
 
 def probe_structure(layout, N: int, spec: ConeSpec, assemble_fn,
                     global_blocks=()) -> Optional[StageStructure]:
-    """Build the StageStructure from a probe assembly. `assemble_fn()` must
-    return the dense A with RANDOM inputs substituted for the traced ones
-    (structural sparsity by union of two probes). Returns None when the row
-    structure does not fit the stage pattern (dense fallback)."""
-    A1 = np.asarray(assemble_fn(0))
-    A2 = np.asarray(assemble_fn(1))
-    probe = (A1 != 0.0) | (A2 != 0.0)
+    """Build the StageStructure from a probe assembly. `assemble_fn(seed)`
+    must return the dense A with RANDOM inputs substituted for the traced
+    ones (structural sparsity by union of three probes; solvers use seed 2
+    to also perturb the problem consts, so footprints cover runtime consts
+    changes — e.g. homotopy ladders). Returns None when the row structure
+    does not fit the stage pattern (dense fallback)."""
+    probe = np.asarray(assemble_fn(0)) != 0.0
+    for seed in (1, 2):
+        probe |= np.asarray(assemble_fn(seed)) != 0.0
     try:
         return StageStructure(layout, N, spec, probe.astype(np.float64),
                               global_blocks=global_blocks)

@@ -1,4 +1,4 @@
-"""Symmetric-cone toolkit: the conic IR and Jordan-algebra/NT-scaling ops.
+"""Cone toolkit: the conic IR and the scaling ops for the native IPM.
 
 This replaces the reference's cone layer (src/parser/cone.jl:48-224, which
 maps cones onto JuMP/MOI sets consumed by the ECOS C solver) with a native
@@ -10,9 +10,21 @@ Supported base cones (reference cone.jl:48 `SupportedCone`):
   L1/LINF -> lowered to linear rows + nonneg slacks (as MOI bridges do)
   SOC     -> native second-order cone blocks
   GEOM    -> lowered to SOC powers (parser/builder layer)
-  EXP     -> exponential cone (nonsymmetric; handled separately, see ipm.py)
+  EXP     -> native 3-dim exponential cone blocks (nonsymmetric; scaled by
+             the Hessian of the dual barrier, as ECOS's expcone extension)
 
-The flat slack/dual vector layout is [zero | nonneg | soc_1 | ... | soc_k].
+Exponential-cone convention (MOI ExponentialCone ordering, which the
+reference posts through cone.jl:103-171):
+
+  K_exp  = cl{(x, y, z) : y > 0,  y e^{x/y} <= z}
+  K_exp* = cl{(u, v, w) : u < 0,  -u e^{v/u} <= e w}
+
+with the 3-logarithmically-homogeneous barriers
+  F (x,y,z) = -log(y log(z/y) - x) - log y - log z
+  F*(u,v,w) = -log(u log(-u/w) + v - u) - log(-u) - log w.
+
+The flat slack/dual vector layout is
+[zero | nonneg | soc_1 | ... | soc_k | exp_1 | ... | exp_j].
 All ops are branch-free over a *static* `ConeSpec`, grouping SOC blocks of
 equal dimension so each group processes as one (num_blocks, dim) tensor —
 TPU-friendly (no per-cone Python loops at runtime).
@@ -21,15 +33,25 @@ TPU-friendly (no per-cone Python loops at runtime).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
+
+# central points e* of the exp-cone barriers (solve grad F(e*) = -e*;
+# computed by Newton to machine precision — the dual one matches ECOS's
+# expcone initialization constants)
+EXP_PRIMAL_CENTRAL = (-0.8278384059008612, 0.8051020015847954,
+                      1.2909277098569585)
+EXP_DUAL_CENTRAL = (-1.0513839437502288, 0.5564096194693704,
+                    1.2589678864644602)
 
 
 @dataclasses.dataclass(frozen=True)
 class ConeSpec:
-    """Static description of a product cone K = 0^nz x R+^nl x SOC(d1) x ...
+    """Static description of a product cone
+    K = 0^nz x R+^nl x SOC(d1) x ... x EXP^nexp.
 
     Hashable/static so it can parameterize jitted functions.
     """
@@ -37,6 +59,7 @@ class ConeSpec:
     nz: int = 0
     nl: int = 0
     socs: Tuple[int, ...] = ()
+    nexp: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "socs", tuple(int(d) for d in self.socs))
@@ -45,17 +68,18 @@ class ConeSpec:
     @property
     def m(self) -> int:
         """Total number of rows."""
-        return self.nz + self.nl + sum(self.socs)
+        return self.nz + self.nl + sum(self.socs) + 3 * self.nexp
 
     @property
     def cone_dim(self) -> int:
         """Rows excluding the zero cone (the part with actual slacks)."""
-        return self.nl + sum(self.socs)
+        return self.nl + sum(self.socs) + 3 * self.nexp
 
     @property
     def degree(self) -> int:
-        """Barrier degree: nl + number of SOC blocks (reference: ECOS nu)."""
-        return self.nl + len(self.socs)
+        """Barrier degree: nl + number of SOC blocks + 3 per exp cone
+        (reference: ECOS nu)."""
+        return self.nl + len(self.socs) + 3 * self.nexp
 
     # ---- static index helpers (numpy, computed once per spec) ----
 
@@ -74,6 +98,13 @@ class ConeSpec:
             d: starts[:, None] + np.arange(d)[None, :]
             for d, starts in self.soc_groups().items()
         }
+
+    def exp_indices(self) -> np.ndarray:
+        """(nexp, 3) absolute row indices of the exp-cone blocks (laid out
+        after the SOC blocks)."""
+        off = self.nz + self.nl + sum(self.socs)
+        return (off + 3 * np.arange(self.nexp)[:, None]
+                + np.arange(3)[None, :])
 
     @property
     def lin_slice(self) -> slice:
@@ -103,6 +134,45 @@ def identity_elem(spec: ConeSpec, dtype=None) -> jnp.ndarray:
         e[off] = 1.0
         off += d
     return jnp.asarray(e, dtype=dtype)
+
+
+# --------------------------- exponential cone -------------------------------
+
+
+def _exp_dual_barrier(z3):
+    """F*(u,v,w) = -log(psi) - log(-u) - log(w), psi = u log(-u/w) + v - u
+    (3-log-homogeneous barrier for K_exp*)."""
+    u, v, w = z3[0], z3[1], z3[2]
+    psi = u * jnp.log(-u / w) + v - u
+    return -jnp.log(psi) - jnp.log(-u) - jnp.log(w)
+
+
+def exp_dual_grad_hess(zb):
+    """Gradient and Hessian of the dual exp barrier per block.
+    zb (k, 3) strictly interior to K*; returns g (k, 3), H (k, 3, 3)."""
+    g = jax.vmap(jax.grad(_exp_dual_barrier))(zb)
+    H = jax.vmap(jax.hessian(_exp_dual_barrier))(zb)
+    return g, H
+
+
+def exp_interior(vb, dual: bool, margin=0.0):
+    """(k,) bool: strict interior membership of (k, 3) blocks in K_exp
+    (dual=False) or K_exp* (dual=True), with an optional margin on the
+    barrier argument. Branch-free with guarded logs."""
+    a, b, c = vb[..., 0], vb[..., 1], vb[..., 2]
+    if dual:
+        # u < 0, w > 0, u log(-u/w) + v - u > margin
+        pos = (a < 0.0) & (c > 0.0)
+        safe_a = jnp.where(pos, -a, 1.0)
+        safe_c = jnp.where(pos, c, 1.0)
+        psi = a * jnp.log(safe_a / safe_c) + b - a
+        return pos & (psi > margin)
+    # y > 0, z > 0, y log(z/y) - x > margin
+    pos = (b > 0.0) & (c > 0.0)
+    safe_b = jnp.where(pos, b, 1.0)
+    safe_c = jnp.where(pos, c, 1.0)
+    r = b * jnp.log(safe_c / safe_b) - a
+    return pos & (r > margin)
 
 
 def cone_product(spec: ConeSpec, u, v) -> jnp.ndarray:
@@ -141,8 +211,11 @@ def cone_div(spec: ConeSpec, lam, v) -> jnp.ndarray:
     return out
 
 
-def max_step(spec: ConeSpec, u, du, big: float = 1e12) -> jnp.ndarray:
+def max_step(spec: ConeSpec, u, du, big: float = 1e12,
+             dual: bool = False) -> jnp.ndarray:
     """Largest alpha >= 0 with u + alpha*du in K (ignoring zero rows).
+    `dual` selects K* for the (non-self-dual) exp blocks — pass True when
+    stepping the dual iterate z.
 
     `u` must be strictly interior. Returns a scalar (capped at `big`).
     """
@@ -178,28 +251,63 @@ def max_step(spec: ConeSpec, u, du, big: float = 1e12) -> jnp.ndarray:
         # the boundary is crossed at the earlier of the two events
         alpha_b = jnp.minimum(root, head)
         alphas.append(jnp.min(alpha_b))
-    return jnp.minimum(jnp.min(jnp.stack([jnp.atleast_1d(a).min() for a in alphas])), big)
+    alpha = jnp.minimum(
+        jnp.min(jnp.stack([jnp.atleast_1d(a).min() for a in alphas])), big)
+    if spec.nexp > 0:
+        # no closed form for the exp boundary crossing; the feasible alphas
+        # form an interval [0, a*) (ray from an interior point of a convex
+        # cone), so bisection on strict-interior membership is exact
+        idx = spec.exp_indices()
+        ub = u[idx]
+        db = du[idx]
+
+        def feas(a):
+            return jnp.all(exp_interior(ub + a * db, dual))
+
+        def bisect(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            ok = feas(mid)
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid))
+
+        full = feas(alpha)
+        lo, hi = jax.lax.fori_loop(
+            0, 90, bisect,
+            (jnp.asarray(0.0, u.dtype), alpha))
+        alpha = jnp.where(full, alpha, lo)
+    return alpha
 
 
 # ------------------------------ NT scaling ---------------------------------
 
 
 class NTScaling(NamedTuple):
-    """Nesterov-Todd scaling point for K = R+^nl x SOC products.
+    """Scaling point for K = R+^nl x SOC products x EXP^nexp.
 
-    W is symmetric, W z = W^{-1} s = lambda. Stored factored:
+    Symmetric part is Nesterov-Todd: W symmetric, W z = W^{-1} s = lambda:
       w_l:   (nl,) with W_lin = diag(w_l)
       socs:  per dim-group tuples (eta (k,1), wbar (k,d)) with
              W_soc = eta * [[w0, w1^T], [w1, I + w1 w1^T/(1+w0)]]
+
+    Exp blocks use the DUAL scaling (ECOS expcone): W^2 = mu * hess F*(z)
+    per block, stored as the symmetric square root and its inverse plus the
+    Hessian and gradient themselves (for the central-path RHS):
+      exp_W/exp_Winv: (k, 3, 3); exp_H = mu*hess (k, 3, 3); exp_g (k, 3).
+    None when the spec has no exp cones.
     """
 
     w_l: jnp.ndarray
     socs: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
     soc_dims: Tuple[int, ...]  # static group dims, parallel to socs
+    exp_W: Optional[jnp.ndarray] = None
+    exp_Winv: Optional[jnp.ndarray] = None
+    exp_H: Optional[jnp.ndarray] = None
+    exp_g: Optional[jnp.ndarray] = None
 
 
-def nt_scaling(spec: ConeSpec, s, z) -> NTScaling:
-    """Compute the NT scaling from strictly interior s, z.
+def nt_scaling(spec: ConeSpec, s, z, mu=None) -> NTScaling:
+    """Compute the scaling from strictly interior s, z (`mu` required when
+    the spec has exp cones — the nonsymmetric scaling is mu * hess F*(z)).
 
     Boundary-grazing iterates can make the Jordan determinants s'Js, z'Jz (and
     the linear ratios s/z) infinitesimally negative through roundoff; every
@@ -226,7 +334,21 @@ def nt_scaling(spec: ConeSpec, s, z) -> NTScaling:
         eta = jnp.sqrt(jnp.maximum(res_s / res_z, tiny))
         socs.append((eta, wbar))
         dims.append(d)
-    return NTScaling(w_l, tuple(socs), tuple(dims))
+    exp_W = exp_Winv = exp_H = exp_g = None
+    if spec.nexp > 0:
+        assert mu is not None, "exp-cone scaling needs the barrier parameter"
+        zb = z[spec.exp_indices()]                       # (k, 3)
+        g, H = exp_dual_grad_hess(zb)
+        muH = mu * H
+        lam, U = jnp.linalg.eigh(muH)                    # SPD for z interior
+        lam = jnp.maximum(lam, tiny)
+        sq = jnp.sqrt(lam)
+        exp_W = jnp.einsum("kij,kj,klj->kil", U, sq, U)
+        exp_Winv = jnp.einsum("kij,kj,klj->kil", U, 1.0 / sq, U)
+        exp_H = muH
+        exp_g = g
+    return NTScaling(w_l, tuple(socs), tuple(dims),
+                     exp_W=exp_W, exp_Winv=exp_Winv, exp_H=exp_H, exp_g=exp_g)
 
 
 def _soc_apply(eta, wbar, v, inverse: bool):
@@ -252,6 +374,10 @@ def scale(spec: ConeSpec, W: NTScaling, v, inverse: bool = False) -> jnp.ndarray
     for (eta, wbar), d in zip(W.socs, W.soc_dims):
         idx = groups[d]
         out = out.at[idx].set(_soc_apply(eta, wbar, v[idx], inverse))
+    if spec.nexp > 0 and W.exp_W is not None:
+        idx = spec.exp_indices()
+        M = W.exp_Winv if inverse else W.exp_W
+        out = out.at[idx].set(jnp.einsum("kij,kj->ki", M, v[idx]))
     return out
 
 
@@ -277,14 +403,21 @@ def w2_dense(spec: ConeSpec, W: NTScaling, dtype=None) -> jnp.ndarray:
         rows = idx[:, :, None]
         cols = idx[:, None, :]
         out = out.at[rows, cols].set(blocks)
+    if spec.nexp > 0 and W.exp_H is not None:
+        idx = spec.exp_indices()
+        out = out.at[idx[:, :, None], idx[:, None, :]].set(W.exp_H)
     return out
 
 
 def lambda_vec(spec: ConeSpec, W: NTScaling, z) -> jnp.ndarray:
-    """lambda = W z (zero on zero-cone rows)."""
+    """lambda = W z (zero on zero-cone rows; zero on exp rows — the
+    nonsymmetric blocks take their central-path RHS directly, not through
+    the Jordan algebra)."""
     lam = scale(spec, W, z)
     if spec.nz > 0:
         lam = lam.at[spec.zero_slice].set(0.0)
+    if spec.nexp > 0:
+        lam = lam.at[spec.exp_indices()].set(0.0)
     return lam
 
 
@@ -311,11 +444,39 @@ def project(spec: ConeSpec, v) -> jnp.ndarray:
             inside[:, None], v1, (coef / safe)[:, None] * v1
         )
         out = out.at[idx].set(jnp.concatenate([p0[:, None], p1], axis=1))
+    assert spec.nexp == 0, (
+        "Euclidean projection onto the exp cone has no closed form; use "
+        "violation() (feasibility-gap measure) for exp specs")
     return out
+
+
+def exp_violation(vb) -> jnp.ndarray:
+    """Feasibility-gap measure of (k, 3) blocks vs K_exp: 0 iff the block is
+    in the cone. Uses the log-form residual max(0, x - y log(z/y), -y, -z)
+    for y > 0 and the boundary face {y = 0, x <= 0, z >= 0} otherwise."""
+    x, y, z = vb[..., 0], vb[..., 1], vb[..., 2]
+    ypos = y > 0.0
+    safe_y = jnp.where(ypos, y, 1.0)
+    safe_z = jnp.where(z > 0.0, z, 1.0)
+    r_int = jnp.maximum(x - y * jnp.log(safe_z / safe_y), -z)
+    r_face = jnp.maximum(x, jnp.maximum(-z, -y))
+    return jnp.maximum(jnp.where(ypos & (z > 0.0), r_int, r_face), 0.0)
 
 
 def violation(spec: ConeSpec, v) -> jnp.ndarray:
     """Distance-like infeasibility measure: ||v - proj_K(v)||_inf, with zero
-    rows measured as |v| (they must equal 0)."""
-    pv = project(spec, v)
-    return jnp.max(jnp.abs(v - pv)) if spec.m > 0 else jnp.zeros((), v.dtype)
+    rows measured as |v| (they must equal 0) and exp rows by the log-form
+    feasibility gap."""
+    if spec.m == 0:
+        return jnp.zeros((), v.dtype)
+    vals = []
+    if spec.nexp > 0:
+        idx = spec.exp_indices()
+        vals.append(jnp.max(exp_violation(v[idx])))
+        sym = ConeSpec(nz=spec.nz, nl=spec.nl, socs=spec.socs)
+        v = v[: sym.m]
+        spec = sym
+    if spec.m > 0:
+        pv = project(spec, v)
+        vals.append(jnp.max(jnp.abs(v - pv)))
+    return jnp.max(jnp.stack(vals))

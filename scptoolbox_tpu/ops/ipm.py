@@ -380,6 +380,7 @@ def _equilibrate(spec: ConeSpec, A, iters: int = 3):
     R = jnp.ones(m, dt)
     D = jnp.ones(n, dt)
     soc_idx = spec.soc_indices()
+    exp_idx = spec.exp_indices() if spec.nexp > 0 else None
     for _ in range(iters):
         As = jnp.abs(R[:, None] * A * D[None, :])
         rmax = jnp.max(As, axis=1)
@@ -387,6 +388,12 @@ def _equilibrate(spec: ConeSpec, A, iters: int = 3):
             blk_max = jnp.max(rmax[idx], axis=1, keepdims=True)
             rmax = rmax.at[idx].set(
                 jnp.broadcast_to(blk_max, idx.shape))
+        if exp_idx is not None:
+            # uniform within each exp block: only the cone's ray scaling
+            # s -> alpha s keeps membership invariant
+            blk_max = jnp.max(rmax[exp_idx], axis=1, keepdims=True)
+            rmax = rmax.at[exp_idx].set(
+                jnp.broadcast_to(blk_max, exp_idx.shape))
         rmax = jnp.where(rmax > 0, rmax, 1.0)
         cmax = jnp.max(As, axis=0)
         cmax = jnp.where(cmax > 0, cmax, 1.0)
@@ -496,6 +503,13 @@ def _solve_impl(
     x0 = sol0[:n, 0]
     s0 = _shift_interior(spec, -sol0[n:, 0] * cone_mask)
     z0 = _shift_interior(spec, sol0[n:, 1])
+    if spec.nexp > 0:
+        # exp blocks start at the barrier central points (as ECOS expinit):
+        # the interior shift along the Jordan identity does not apply to the
+        # nonsymmetric blocks
+        eidx = spec.exp_indices()
+        s0 = s0.at[eidx].set(jnp.asarray(cn.EXP_PRIMAL_CENTRAL, dt)[None, :])
+        z0 = z0.at[eidx].set(jnp.asarray(cn.EXP_DUAL_CENTRAL, dt)[None, :])
     tau0 = jnp.asarray(1.0, dt)
     kap0 = jnp.asarray(1.0, dt)
 
@@ -564,9 +578,10 @@ def _solve_impl(
         rx, rz, rtau = residuals(st)
         mu = (jnp.dot(st.s, st.z) + st.tau * st.kappa) / (deg + 1)
 
-        # NT scaling and scaled point
-        W = cn.nt_scaling(spec, st.s, st.z)
+        # NT scaling (symmetric blocks) + dual-barrier scaling (exp blocks)
+        W = cn.nt_scaling(spec, st.s, st.z, mu=mu)
         lam = cn.lambda_vec(spec, W, st.z)
+        eidx = spec.exp_indices() if spec.nexp > 0 else None
 
         # KKT with current W; two constant RHS columns solved together:
         #   col 0: [-c; b]            (tau-elimination direction u)
@@ -585,6 +600,14 @@ def _solve_impl(
 
             # bs = W(lam \ d_s)  (zero on zero-cone rows)
             bs = cn.scale(spec, W, cn.cone_div(spec, lam, d_s)) * cone_mask
+            if eidx is not None:
+                # exp central path s = -mu grad F*(z), linearized:
+                # ds + mu H dz = -s - sigma mu grad F*(z); the KKT
+                # elimination ds = bs - W^2 dz (W^2 = mu H) takes the target
+                # directly as bs (no Mehrotra correction on the
+                # nonsymmetric blocks)
+                tgt = -st.s[eidx] - sigma * mu * W.exp_g
+                bs = bs.at[eidx].set(tgt)
 
             rhs = jnp.stack(
                 [
@@ -607,8 +630,8 @@ def _solve_impl(
             return dx, dz, ds, dtau, dkap
 
         def step_len(ds, dz, dtau, dkap):
-            a_s = cn.max_step(spec, st.s, ds)
-            a_z = cn.max_step(spec, st.z, dz)
+            a_s = cn.max_step(spec, st.s, ds, dual=False)
+            a_z = cn.max_step(spec, st.z, dz, dual=True)
             a_t = jnp.where(dtau < 0, -st.tau / jnp.minimum(dtau, -1e-30), big)
             a_k = jnp.where(dkap < 0, -st.kappa / jnp.minimum(dkap, -1e-30), big)
             return jnp.minimum(jnp.minimum(a_s, a_z), jnp.minimum(a_t, a_k))

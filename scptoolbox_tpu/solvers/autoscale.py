@@ -82,14 +82,25 @@ def _probe_bounds(pbm: TrajectoryProblem, set_fn, z_name: str, nz: int,
     vals = jnp.take_along_axis(
         sols.x, jnp.asarray(np.concatenate([cols, cols]))[:, None],
         axis=1)[:, 0]
-    ok = (sols.status == int(ipm.IPMStatus.OPTIMAL)) | (
-        sols.status == int(ipm.IPMStatus.ALMOST_OPTIMAL))
+    status = np.asarray(sols.status)
+    ok = np.isin(status, (int(ipm.IPMStatus.OPTIMAL),
+                          int(ipm.IPMStatus.ALMOST_OPTIMAL)))
+    # reference semantics (scp.jl:471-481): anything except solved or
+    # unbounded (DUAL_INFEASIBLE; MAX_ITER is our NUMERICAL_ERROR analog)
+    # is a scaling failure, not a silent fallback to the [0, 1] default
+    bad = ~ok & ~np.isin(status, (int(ipm.IPMStatus.DUAL_INFEASIBLE),
+                                  int(ipm.IPMStatus.MAX_ITER)))
+    if bad.any():
+        raise SCPError(
+            SCPStatus.SCALING_FAILED,
+            f"auto-scaling bound LP over {z_name!r} returned status "
+            f"{status[bad][0]} (scp.jl:471-481)")
     lo = np.asarray(vals[:nb])
     hi = np.asarray(vals[nb:])
-    ok_np = np.asarray(ok[:nb] & ok[nb:])
+    ok_lo, ok_hi = ok[:nb], ok[nb:]
     nzi = len(z_idx)
-    return (lo[:nzi], hi[:nzi], ok_np[:nzi],
-            lo[nzi:], hi[nzi:], ok_np[nzi:])
+    return (lo[:nzi], hi[:nzi], ok_lo[:nzi], ok_hi[:nzi],
+            lo[nzi:], hi[nzi:], ok_lo[nzi:], ok_hi[nzi:])
 
 
 def autoscale(pbm: TrajectoryProblem, x_guess, u_guess, p_guess,
@@ -115,14 +126,14 @@ def autoscale(pbm: TrajectoryProblem, x_guess, u_guess, p_guess,
         res = _probe_bounds(pbm, pbm.X, "x", pbm.nx, t_grid, x_un, p_un,
                             dtype)
         if res is not None:
-            bbox["x"] = (x_un,) + res[:3]
-            bbox["p_from_x"] = (p_un,) + res[3:]
+            bbox["x"] = (x_un,) + res[:4]
+            bbox["p_from_x"] = (p_un,) + res[4:]
     if pbm.U is not None and (len(u_un) or len(p_un)):
         res = _probe_bounds(pbm, pbm.U, "u", pbm.nu, t_grid, u_un, p_un,
                             dtype)
         if res is not None:
-            bbox["u"] = (u_un,) + res[:3]
-            bbox["p_from_u"] = (p_un,) + res[3:]
+            bbox["u"] = (u_un,) + res[:4]
+            bbox["p_from_u"] = (p_un,) + res[4:]
 
     def merge(S0, c0, entries):
         S = np.asarray(S0).copy()
@@ -130,12 +141,17 @@ def autoscale(pbm: TrajectoryProblem, x_guess, u_guess, p_guess,
         for key in entries:
             if key not in bbox:
                 continue
-            idx, lo, hi, ok = bbox[key]
-            width = hi - lo
-            use = ok & (width > 1e-8)
+            idx, lo, hi, ok_lo, ok_hi = bbox[key]
+            # per-direction merge (scp.jl:459-481): a solved direction's
+            # bound is kept even when the other direction is unbounded,
+            # which falls back to that side of the [0, 1] default
+            lo_m = np.where(ok_lo, lo, 0.0)
+            hi_m = np.where(ok_hi, hi, 1.0)
+            width = hi_m - lo_m
+            use = (ok_lo | ok_hi) & (width > 1e-8)
             sel = idx[use]
             S[sel] = width[use]
-            c[sel] = lo[use]
+            c[sel] = lo_m[use]
         return jnp.asarray(S, dtype), jnp.asarray(c, dtype)
 
     Sx, cx = merge(base.Sx, base.cx, ["x"])

@@ -52,7 +52,8 @@ from scptoolbox_tpu.solvers.projection import project_convex
 from scptoolbox_tpu.solvers.autoscale import solver_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
 from scptoolbox_tpu.solvers.subproblem import Assembler
-from scptoolbox_tpu.solvers.template import BlockPoster, SCPTemplate
+from scptoolbox_tpu.solvers.template import (BlockPoster, SCPTemplate,
+                                             _perturb_consts)
 from scptoolbox_tpu.utils.table import Column, Table
 
 
@@ -110,25 +111,30 @@ class GuSTO:
 
     def __init__(self, pbm: TrajectoryProblem, pars: GuSTOParameters,
                  dtype=None):
-        assert pars.pen == "quad", "softplus EXP-cone penalty not yet built"
+        assert pars.pen in ("quad", "softplus"), pars.pen
         self.pbm = pbm
         self.pars = pars
         self.dtype = dtype or default_dtype()
         N = pars.N
         nx, npp = pbm.nx, pbm.np
+        quad = pars.pen == "quad"
         self.t_np = np.linspace(0.0, 1.0, N)
         # state set X is relaxed with indicator variables unless force_hard
         # (reference define_conic_constraint!, problem.jl:686-807); the
-        # input set U stays hard (problem.jl:534-542)
+        # input set U stays hard (problem.jl:534-542). For pen="softplus"
+        # the vs slacks track the RAW linearized s (no vs >= 0), since
+        # softplus penalizes the value itself (soft_penalty,
+        # gusto.jl:996-1031), where quad penalizes max(0, .)^2.
         tmpl = SCPTemplate(pbm, N, self.t_np, relax_dynamics=False,
                            relax_bcs=False, soft_X=not pbm.force_hard,
-                           dtype=self.dtype)
+                           vs_nonneg=quad, dtype=self.dtype)
         lay, plan = tmpl.layout, tmpl.plan
         self.n_qX = tmpl.n_qX if tmpl.soft_X else 0
         if self.n_qX:
-            # v_qX >= max(0, qX): slacks feeding the quadratic penalty
+            # v_qX >= qX (and >= 0 for quad): slacks feeding the penalty
             lay.add("v_qX", N, self.n_qX)
-            plan.nonneg("v_qX_nn", N * self.n_qX)
+            if quad:
+                plan.nonneg("v_qX_nn", N * self.n_qX)
             plan.nonneg("v_qX_ge", N * self.n_qX)
 
         q = pars.q_tr
@@ -139,8 +145,9 @@ class GuSTO:
             lay.add("dp_lq")
             self._tr_p = BlockPoster("tr_p", kind, 1 + npp, 1, lay, plan)
         lay.add("tr", N)        # one-sided trust-region slack
-        lay.add("v_tr", N)      # v_tr >= max(0, tr)
-        plan.nonneg("v_tr_nn", N)
+        lay.add("v_tr", N)      # v_tr >= tr (and >= 0 for quad)
+        if quad:
+            plan.nonneg("v_tr_nn", N)
         plan.nonneg("v_tr_ge", N)
         self._nsum = 1 + (1 if npp > 0 else 0)
         if q == 4.0:
@@ -149,11 +156,24 @@ class GuSTO:
             plan.soc("tr_geom", N, 3)
         else:
             plan.nonneg("tr_bound", N)
-        # single quadratic epigraph for the lambda-weighted penalties
         n_pen = (N + (N * tmpl.struct.ns if tmpl.struct.ns else 0)
                  + N * self.n_qX)
-        lay.add("t_pen")
-        plan.soc("pen_epi", 1, n_pen + 2)
+        self._n_pen = n_pen
+        if quad:
+            # single quadratic epigraph for the lambda-weighted penalties
+            lay.add("t_pen")
+            plan.soc("pen_epi", 1, n_pen + 2)
+        else:
+            # softplus: per-scalar log-sum-exp epigraph via two EXP cones
+            # (reference soft_penalty :softplus branch, gusto.jl:996-1031):
+            #   e^{-w} <= u,  e^{hom f - w} <= v,  u + v <= 1
+            #   => w >= log(1 + e^{hom f});  penalty = lam * w / hom
+            lay.add("sp_w", n_pen)
+            lay.add("sp_u", n_pen)
+            lay.add("sp_v", n_pen)
+            plan.exp("sp_e1", n_pen)
+            plan.exp("sp_e2", n_pen)
+            plan.nonneg("sp_uv", n_pen)
         self.spec = tmpl.freeze()
         self.tmpl = tmpl
 
@@ -170,17 +190,20 @@ class GuSTO:
                                                       random_dltv)
 
         _asm_probe = jax.jit(
-            lambda rx, ru, rp, dltv, eta, lam: self._assemble(
-                rx, ru, rp, dltv, eta, lam, pbm.consts)[0])
+            lambda rx, ru, rp, dltv, eta, lam, consts: self._assemble(
+                rx, ru, rp, dltv, eta, lam, consts)[0])
 
         def _probe(seed):
             rng = np.random.default_rng(seed)
             r = lambda *sh: jnp.asarray(rng.standard_normal(sh), self.dtype)
             dltv = random_dltv(rng, N, nx, pbm.nu, npp, self.dtype)
+            consts = (_perturb_consts(pbm.consts, rng) if seed >= 2
+                      else pbm.consts)
             return _asm_probe(
                 r(N, nx), r(N, pbm.nu), r(npp), dltv,
                 jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
-                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype))
+                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
+                consts)
 
         self._kkt_builder = build_kkt_builder(
             tmpl, _probe, enabled=pars.structured_kkt)
@@ -261,10 +284,11 @@ class GuSTO:
             asm.add_A(rows, cols, J)
             asm.add_b(rows, jnp.full((N, 1), eta, dt))
 
-        # v_tr >= tr, v_tr >= 0
+        # v_tr >= tr (plus v_tr >= 0 for the quad penalty)
         vtr = np.asarray(lay.idx("v_tr")).reshape(N, 1)
-        r = plan.rows("v_tr_nn").reshape(N, 1)
-        asm.add_A(r, vtr, -jnp.ones((N, 1, 1), dt))
+        if self.pars.pen == "quad":
+            r = plan.rows("v_tr_nn").reshape(N, 1)
+            asm.add_A(r, vtr, -jnp.ones((N, 1, 1), dt))
         r = plan.rows("v_tr_ge").reshape(N, 1)
         asm.add_A(r, np.concatenate([tr_cols, vtr], axis=1),
                   jnp.broadcast_to(jnp.asarray([1.0, -1.0], dt), (N, 1, 2)))
@@ -279,51 +303,90 @@ class GuSTO:
         tmpl.assemble_core(asm, ref_x, ref_u, ref_p, dltv, consts)
         self._post_trust_region(asm, ref_x, ref_p, eta)
 
-        # single quadratic epigraph: t_pen >= sum_k w_k v_tr_k^2
-        #                                   + sum_{k,i} w_k vs_{k,i}^2
+        # penalized scalars: v_tr (N), vs (N*ns), v_qX (N*n_qX) with the
+        # trapz weight of their node
         w = jnp.asarray(tmpl.w_trapz, dt)
-        sw = jnp.sqrt(w)
         pen_cols = [np.asarray(lay.idx("v_tr")).reshape(N)]
-        pen_scale = [sw]
+        pen_w = [w]
         if ns:
             pen_cols.append(np.asarray(lay.idx("vs")).reshape(N * ns))
-            pen_scale.append(jnp.repeat(sw, ns))
+            pen_w.append(jnp.repeat(w, ns))
         if self.n_qX:
-            # v_qX >= qX, v_qX >= 0 (soft state-set indicators)
+            # v_qX >= qX (+ >= 0 for quad): soft state-set indicators
             nq = self.n_qX
             vq = lay.idx("v_qX").reshape(N * nq)
             qx_cols = np.concatenate(
                 [np.asarray(lay.idx(f"qX{i}")).reshape(N, -1)
                  for i in range(len(tmpl.struct.X_kinds))], axis=1
             ).reshape(N * nq)
-            r = plan.rows("v_qX_nn")
-            asm.add_A(r, vq, -jnp.eye(N * nq, dtype=dt))
+            if pars.pen == "quad":
+                r = plan.rows("v_qX_nn")
+                asm.add_A(r, vq, -jnp.eye(N * nq, dtype=dt))
             r = plan.rows("v_qX_ge").reshape(N * nq, 1)
             asm.add_A(r, np.stack([qx_cols, vq], axis=1),
                       jnp.broadcast_to(jnp.asarray([1.0, -1.0], dt),
                                        (N * nq, 1, 2)))
             pen_cols.append(vq)
-            pen_scale.append(jnp.repeat(sw, nq))
+            pen_w.append(jnp.repeat(w, nq))
         cols = np.concatenate(pen_cols)
-        scale_v = jnp.concatenate(pen_scale)
+        wts = jnp.concatenate(pen_w)
         n_pen = cols.shape[0]
-        # SOC [t+1/2, t-1/2, diag(scale) v]
-        rows = plan.rows("pen_epi")
-        t_col = np.asarray(lay.idx("t_pen")).reshape(1)
-        cw = np.concatenate([cols, t_col])[None, :]
-        J = jnp.zeros((1, n_pen + 2, n_pen + 1), dt)
-        J = J.at[0, 0, n_pen].set(1.0)
-        J = J.at[0, 1, n_pen].set(1.0)
-        J = J.at[0, 2:, :n_pen].set(jnp.diag(scale_v))
-        v0 = jnp.concatenate(
-            [jnp.asarray([0.5, -0.5], dt), jnp.zeros(n_pen, dt)])[None, :]
-        asm.res_soc(rows, cw, J, v0)
-        asm.add_c(t_col, jnp.asarray([lam], dt))
+        if pars.pen == "quad":
+            # single quadratic epigraph: t_pen >= sum_i w_i f_i^2
+            # SOC [t+1/2, t-1/2, diag(sqrt(w)) f]
+            rows = plan.rows("pen_epi")
+            t_col = np.asarray(lay.idx("t_pen")).reshape(1)
+            cw = np.concatenate([cols, t_col])[None, :]
+            J = jnp.zeros((1, n_pen + 2, n_pen + 1), dt)
+            J = J.at[0, 0, n_pen].set(1.0)
+            J = J.at[0, 1, n_pen].set(1.0)
+            J = J.at[0, 2:, :n_pen].set(jnp.diag(jnp.sqrt(wts)))
+            v0 = jnp.concatenate(
+                [jnp.asarray([0.5, -0.5], dt), jnp.zeros(n_pen, dt)])[None, :]
+            asm.res_soc(rows, cw, J, v0)
+            asm.add_c(t_col, jnp.asarray([lam], dt))
+        else:
+            # softplus LSE epigraph per scalar (gusto.jl:996-1031):
+            # EXP(-w, 1, u); EXP(hom f - w, 1, v); u + v <= 1;
+            # cost lam * sum_i w_i sp_w_i / hom
+            hom = pars.hom
+            wc = np.asarray(lay.idx("sp_w")).reshape(n_pen)
+            uc = np.asarray(lay.idx("sp_u")).reshape(n_pen)
+            vc = np.asarray(lay.idx("sp_v")).reshape(n_pen)
+            ones = jnp.ones((n_pen,), dt)
+            # EXP1 residual (-w, 1, u): cols [w, u]
+            J1 = jnp.zeros((n_pen, 3, 2), dt)
+            J1 = J1.at[:, 0, 0].set(-1.0)
+            J1 = J1.at[:, 2, 1].set(1.0)
+            v01 = jnp.stack([jnp.zeros(n_pen, dt), ones,
+                             jnp.zeros(n_pen, dt)], axis=1)
+            asm.res_exp(plan.rows("sp_e1"), np.stack([wc, uc], axis=1),
+                        J1, v01)
+            # EXP2 residual (hom f - w, 1, v): cols [f, w, v]
+            J2 = jnp.zeros((n_pen, 3, 3), dt)
+            J2 = J2.at[:, 0, 0].set(hom)
+            J2 = J2.at[:, 0, 1].set(-1.0)
+            J2 = J2.at[:, 2, 2].set(1.0)
+            asm.res_exp(plan.rows("sp_e2"),
+                        np.stack([cols, wc, vc], axis=1), J2, v01)
+            # u + v - 1 <= 0
+            Juv = jnp.broadcast_to(jnp.asarray([1.0, 1.0], dt),
+                                   (n_pen, 1, 2))
+            asm.res_nonpos(plan.rows("sp_uv").reshape(n_pen, 1),
+                           np.stack([uc, vc], axis=1), Juv, -ones[:, None])
+            asm.add_c(wc, lam * wts / hom)
 
         return asm.finish(self._S_full, self._c_full)
 
+    def _h_pen(self, f, lam):
+        """The numerical soft penalty h (soft_penalty, gusto.jl:970-1031):
+        quad lam*max(0,f)^2; softplus lam*log(1+e^{hom f})/hom."""
+        if self.pars.pen == "quad":
+            return lam * jnp.maximum(f, 0.0) ** 2
+        return lam * jnp.logaddexp(0.0, self.pars.hom * f) / self.pars.hom
+
     def _nonlinear_state_penalty(self, x, u, p, lam, consts=None):
-        """state_penalty_cost(:nonconvex) (gusto.jl:845-865) with pen=quad."""
+        """state_penalty_cost(:nonconvex) (gusto.jl:845-865)."""
         if consts is None:
             consts = self.consts
         tmpl = self.tmpl
@@ -336,12 +399,10 @@ class GuSTO:
             ks = jnp.arange(N)
             sval = jax.vmap(lambda t, k, xx, uu: bind_consts(self.pbm.s, consts)(t, k, xx, uu, p)
                             )(ts, ks, x, u)
-            pen = pen + lam * (w @ jnp.sum(jnp.maximum(sval, 0.0) ** 2,
-                                           axis=1))
+            pen = pen + w @ jnp.sum(self._h_pen(sval, lam), axis=1)
         if self.n_qX:
             qx = tmpl.X_indicators(x, p, consts)     # (N, n_qX)
-            pen = pen + lam * (w @ jnp.sum(jnp.maximum(qx, 0.0) ** 2,
-                                           axis=1))
+            pen = pen + w @ jnp.sum(self._h_pen(qx, lam), axis=1)
         return pen
 
     def _dyn_error(self, ref_x, ref_u, ref_p, x, u, p):
@@ -381,7 +442,7 @@ class GuSTO:
         lay = tmpl.layout
         v_tr = d[lay.sl("v_tr")]
         w = jnp.asarray(tmpl.w_trapz, self.dtype)
-        J_tr = lam * (w @ v_tr ** 2)
+        J_tr = w @ self._h_pen(v_tr, lam)
         J_aug = (L + self._nonlinear_state_penalty(x, u, p, lam, consts)
                  + J_tr)
 
@@ -556,16 +617,17 @@ class GuSTO:
                           else SCPStatus.FAILED)
                 break
 
+        final = best if best is not None else out
         # Reference status semantics (scp.jl:196-245): iter_max exhaustion
         # with a cleanly-solved final subproblem is still SCP_SOLVED (the
         # reference's freeflyer/quadrotor GuSTO tests run with eps = 0).
-        if status != SCPStatus.SOLVED and out is not None and not (
+        # Gate on the ipm_status of the iterate actually RETURNED (`final`,
+        # the best accepted one), not the last solved subproblem.
+        if status != SCPStatus.SOLVED and final is not None and not (
                 lam > pars.lam_max):
-            if int(out["ipm_status"]) in (int(ipm.IPMStatus.OPTIMAL),
-                                          int(ipm.IPMStatus.ALMOST_OPTIMAL)):
+            if int(final["ipm_status"]) in (int(ipm.IPMStatus.OPTIMAL),
+                                            int(ipm.IPMStatus.ALMOST_OPTIMAL)):
                 status = SCPStatus.SOLVED
-
-        final = best if best is not None else out
         xd = np.asarray(final["x"])
         ud = np.asarray(final["u"])
         p = np.asarray(final["p"])

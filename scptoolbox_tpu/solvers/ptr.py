@@ -45,7 +45,8 @@ from scptoolbox_tpu.parser.problem import (ConeKind, TrajectoryProblem,
 from scptoolbox_tpu.solvers.autoscale import solver_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
 from scptoolbox_tpu.solvers.subproblem import Assembler
-from scptoolbox_tpu.solvers.template import SCPTemplate, BlockPoster
+from scptoolbox_tpu.solvers.template import (SCPTemplate, BlockPoster,
+                                             _perturb_consts)
 from scptoolbox_tpu.utils.table import Column, Table
 
 
@@ -163,14 +164,19 @@ class PTR:
                                                       random_dltv)
 
         _asm_probe = jax.jit(
-            lambda rx, ru, rp, dltv: self._assemble(
-                rx, ru, rp, dltv, pbm.consts)[0])
+            lambda rx, ru, rp, dltv, consts: self._assemble(
+                rx, ru, rp, dltv, consts)[0])
 
         def _probe(seed):
             rng = np.random.default_rng(seed)
             r = lambda *sh: jnp.asarray(rng.standard_normal(sh), self.dtype)
             dltv = random_dltv(rng, N, pbm.nx, pbm.nu, pbm.np, self.dtype)
-            return _asm_probe(r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv)
+            # seed 2 perturbs the consts: footprints must also cover
+            # assemblies at runtime consts values (homotopy ladders)
+            consts = (_perturb_consts(pbm.consts, rng) if seed >= 2
+                      else pbm.consts)
+            return _asm_probe(r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv,
+                              consts)
 
         self._kkt_builder = build_kkt_builder(
             tmpl, _probe, enabled=pars.structured_kkt)
@@ -338,6 +344,7 @@ class PTR:
         status = SCPStatus.FAILED
         out = None
         last_good = None
+        diverged = False
         n_iter = 0
         # iteration budget extendable by the user callback (the reference's
         # homotopy callback grows pars.iter_max mid-solve so each homotopy
@@ -364,6 +371,7 @@ class PTR:
             # finite iterate
             if not np.isfinite(J_aug):
                 out = last_good
+                diverged = True
                 break
             last_good = out
             rec = IterationRecord(
@@ -411,8 +419,11 @@ class PTR:
         # scp.jl:965-980): the solve is SCP_SOLVED as long as the FINAL
         # subproblem solved cleanly — exhausting iter_max is not a failure
         # (the reference's freeflyer/quadrotor tests run with eps = 0,
-        # deliberately spending the whole budget).
-        if status != SCPStatus.SOLVED and out is not None:
+        # deliberately spending the whole budget). A run that ended on the
+        # NaN emergency exit is FAILED (reference unsafe_solution path,
+        # ptr.jl:486-491) even though the returned last-good iterate's own
+        # subproblem was optimal.
+        if status != SCPStatus.SOLVED and not diverged and out is not None:
             if int(out["ipm_status"]) in (int(ipm.IPMStatus.OPTIMAL),
                                           int(ipm.IPMStatus.ALMOST_OPTIMAL)):
                 status = SCPStatus.SOLVED

@@ -49,7 +49,8 @@ from scptoolbox_tpu.solvers.projection import project_convex
 from scptoolbox_tpu.solvers.autoscale import solver_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
 from scptoolbox_tpu.solvers.subproblem import Assembler
-from scptoolbox_tpu.solvers.template import BlockPoster, SCPTemplate
+from scptoolbox_tpu.solvers.template import (BlockPoster, SCPTemplate,
+                                             _perturb_consts)
 from scptoolbox_tpu.utils.table import Column, Table
 
 
@@ -142,16 +143,19 @@ class SCvx:
                                                       random_dltv)
 
         _asm_probe = jax.jit(
-            lambda rx, ru, rp, dltv, eta: self._assemble(
-                rx, ru, rp, dltv, eta, pbm.consts)[0])
+            lambda rx, ru, rp, dltv, eta, consts: self._assemble(
+                rx, ru, rp, dltv, eta, consts)[0])
 
         def _probe(seed):
             rng = np.random.default_rng(seed)
             r = lambda *sh: jnp.asarray(rng.standard_normal(sh), self.dtype)
             dltv = random_dltv(rng, N, nx, nu, npp, self.dtype)
+            consts = (_perturb_consts(pbm.consts, rng) if seed >= 2
+                      else pbm.consts)
             return _asm_probe(
                 r(N, nx), r(N, nu), r(npp), dltv,
-                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype))
+                jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
+                consts)
 
         self._kkt_builder = build_kkt_builder(
             tmpl, _probe, enabled=pars.structured_kkt)

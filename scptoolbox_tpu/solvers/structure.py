@@ -35,7 +35,11 @@ def build_kkt_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
 
     enabled=None (auto): use the structured factorization when the dense
     KKT is large enough for the O(m n^2) formation to dominate the scan
-    overhead of the block sweep (n >= 600); True/False force it."""
+    overhead of the block sweep (n >= 600); True/False force it. Specs with
+    exp cones fall back to dense (the stage classifier does not map the
+    nonsymmetric blocks yet)."""
+    if tmpl.spec.nexp > 0:
+        return None
     if enabled is None:
         enabled = tmpl.n >= 600
     if not enabled:

@@ -76,6 +76,7 @@ class RowPlan:
         self._zero: List[Tuple[str, int]] = []
         self._nonneg: List[Tuple[str, int]] = []
         self._soc: List[Tuple[str, int, int]] = []  # (name, count, dim)
+        self._exp: List[Tuple[str, int]] = []       # (name, count) 3-dim blks
         self._frozen = False
         self._rows: Dict[str, np.ndarray] = {}
 
@@ -90,6 +91,11 @@ class RowPlan:
     def soc(self, name: str, count: int, dim: int) -> None:
         assert not self._frozen
         self._soc.append((name, int(count), int(dim)))
+
+    def exp(self, name: str, count: int) -> None:
+        """`count` exponential-cone blocks (x, y, z): y e^{x/y} <= z."""
+        assert not self._frozen
+        self._exp.append((name, int(count)))
 
     def freeze(self) -> ConeSpec:
         assert not self._frozen
@@ -110,11 +116,19 @@ class RowPlan:
             )
             off += count * dim
             socs.extend([dim] * count)
+        nexp = 0
+        for name, count in self._exp:
+            self._rows[name] = (
+                off + np.arange(count)[:, None] * 3 + np.arange(3)[None, :]
+            )
+            off += count * 3
+            nexp += count
         self.m = off
-        return ConeSpec(nz=nz, nl=nl, socs=tuple(socs))
+        return ConeSpec(nz=nz, nl=nl, socs=tuple(socs), nexp=nexp)
 
     def rows(self, name: str) -> np.ndarray:
-        """(nrows,) for zero/nonneg groups; (count, dim) for SOC groups."""
+        """(nrows,) for zero/nonneg groups; (count, dim) for SOC/EXP
+        groups."""
         return self._rows[name]
 
 
@@ -167,6 +181,9 @@ class Assembler:
     def res_soc(self, rows, cols, J, v0) -> None:
         self.add_A(rows, cols, -jnp.asarray(J))
         self.add_b(rows, jnp.asarray(v0))
+
+    # membership s = v in K_exp: same sign convention as SOC
+    res_exp = res_soc
 
     def finish(self, S_full, c_full):
         """Apply the diagonal decision scaling d = S d_hat + c and return

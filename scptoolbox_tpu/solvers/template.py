@@ -46,6 +46,22 @@ from scptoolbox_tpu.solvers.scaling import Scaling
 from scptoolbox_tpu.solvers.subproblem import Assembler, RowPlan, VarLayout
 
 
+def _perturb_consts(consts, rng: np.random.Generator):
+    """A consts pytree with every float leaf pushed strictly away from zero
+    (used to probe structure at consts values other than the construction
+    ones — runtime consts are traced inputs and may change, e.g. homotopy
+    ladders)."""
+
+    def pert(leaf):
+        a = jnp.asarray(leaf)
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            return leaf
+        off = 0.37 + 0.23 * np.abs(rng.standard_normal(a.shape))
+        return a * (1.0 + 0.1 * off) + jnp.asarray(off, a.dtype)
+
+    return jax.tree_util.tree_map(pert, consts)
+
+
 def trapezoid_weights(t_grid: np.ndarray) -> np.ndarray:
     """Trapezoid quadrature weights over the node grid (reference trapz,
     src/utils/helper.jl:560-574): trapz(v, t) == w @ v."""
@@ -230,9 +246,15 @@ class SCPTemplate:
 
     def __init__(self, pbm: TrajectoryProblem, N: int, t_grid: np.ndarray,
                  *, relax_dynamics: bool = True, relax_bcs: bool = True,
-                 soft_X: bool = False, dtype=jnp.float64):
+                 soft_X: bool = False, vs_nonneg: bool = True,
+                 dtype=jnp.float64):
         self.pbm = pbm
         self.soft_X = bool(soft_X) and pbm.X is not None
+        # vs_nonneg=False drops the vs >= 0 rows so vs tracks the RAW
+        # linearized s value (GuSTO's softplus penalty needs softplus(s_lin),
+        # not softplus(max(0, s_lin)); softplus is increasing so the
+        # one-sided bound vs >= s_lin is tight at the optimum)
+        self.vs_nonneg = bool(vs_nonneg)
         self.N = int(N)
         self.t_np = np.asarray(t_grid, dtype=np.float64)
         self.w_trapz = trapezoid_weights(self.t_np)
@@ -299,7 +321,8 @@ class SCPTemplate:
         if ns:
             lay.add("vs", N, ns)
             plan.nonneg("ncvx", N * ns)
-            plan.nonneg("vs_nn", N * ns)
+            if self.vs_nonneg:
+                plan.nonneg("vs_nn", N * ns)
         if not self.soft_X:
             self._X_posters = [
                 BlockPoster(f"X{i}", k, d, N, lay, plan)
@@ -351,65 +374,73 @@ class SCPTemplate:
         self.term_linear = False
         rng = np.random.default_rng(0)
         t0j = jnp.asarray(self.t_np, self.dtype)
+        # support is probed with PERTURBED consts too: solvers pass runtime
+        # consts into assembly (homotopy callbacks mutate them), so a cost
+        # weight that is 0 at construction and nonzero later must not leave
+        # its coordinates out of run/term_support (the sliced epigraph would
+        # silently drop that cost dependence)
+        consts_variants = [c0_, _perturb_consts(c0_, rng)]
         if self.struct.has_run:
-            run0 = bind_consts(pbm.running_cost, c0_)
             nd_run = nx + nu + npp
-
-            def _gh_run(t, k, d0):
-                def scl(vec):
-                    xx = vec[:nx]
-                    uu = vec[nx:nx + nu]
-                    pp = vec[nx + nu:] if npp > 0 else pg
-                    return run0(t, k, xx, uu, pp)
-
-                return jax.grad(scl)(d0), jax.hessian(scl)(d0)
-
             sup = np.zeros(nd_run, bool)
             h_any = False
             d_base = np.concatenate(
                 [np.asarray(xg), np.asarray(ug)]
                 + ([np.broadcast_to(np.asarray(pg), (N, npp))]
                    if npp > 0 else []), axis=1)
-            for trial in range(3):  # probe support at perturbed references
-                pert = (0.0 if trial == 0
-                        else 0.3 * rng.standard_normal(d_base.shape))
-                gs, Hs = jax.vmap(_gh_run)(
-                    t0j, jnp.arange(N),
-                    jnp.asarray(d_base + pert, self.dtype))
-                gs = np.asarray(gs)
-                Hs = np.asarray(Hs)
-                h_any = h_any or np.max(np.abs(Hs)) != 0.0
-                sup |= np.any(gs != 0.0, axis=0)
-                sup |= np.any(Hs != 0.0, axis=(0, 1))
-                sup |= np.any(Hs != 0.0, axis=(0, 2))
+            for cv in consts_variants:
+                run0 = bind_consts(pbm.running_cost, cv)
+
+                def _gh_run(t, k, d0, run0=run0):
+                    def scl(vec):
+                        xx = vec[:nx]
+                        uu = vec[nx:nx + nu]
+                        pp = vec[nx + nu:] if npp > 0 else pg
+                        return run0(t, k, xx, uu, pp)
+
+                    return jax.grad(scl)(d0), jax.hessian(scl)(d0)
+
+                for trial in range(3):  # + perturbed references
+                    pert = (0.0 if trial == 0
+                            else 0.3 * rng.standard_normal(d_base.shape))
+                    gs, Hs = jax.vmap(_gh_run)(
+                        t0j, jnp.arange(N),
+                        jnp.asarray(d_base + pert, self.dtype))
+                    gs = np.asarray(gs)
+                    Hs = np.asarray(Hs)
+                    h_any = h_any or np.max(np.abs(Hs)) != 0.0
+                    sup |= np.any(gs != 0.0, axis=0)
+                    sup |= np.any(Hs != 0.0, axis=(0, 1))
+                    sup |= np.any(Hs != 0.0, axis=(0, 2))
             self.run_linear = not h_any
             self.run_support = np.flatnonzero(sup)
         if self.struct.has_term:
-            term0 = bind_consts(pbm.terminal_cost, c0_)
             nd_term = nx + npp
-
-            def _gh_term(d0):
-                def scl(vec):
-                    xx = vec[:nx]
-                    pp = vec[nx:] if npp > 0 else pg
-                    return term0(xx, pp)
-
-                return jax.grad(scl)(d0), jax.hessian(scl)(d0)
-
             sup = np.zeros(nd_term, bool)
             h_any = False
             d_base = np.concatenate(
                 [np.asarray(xg[-1])] + ([np.asarray(pg)] if npp > 0 else []))
-            for trial in range(3):
-                pert = (0.0 if trial == 0
-                        else 0.3 * rng.standard_normal(nd_term))
-                gt, Ht = _gh_term(jnp.asarray(d_base + pert, self.dtype))
-                gt = np.asarray(gt)
-                Ht = np.asarray(Ht)
-                h_any = h_any or np.max(np.abs(Ht)) != 0.0
-                sup |= gt != 0.0
-                sup |= np.any(Ht != 0.0, axis=0)
-                sup |= np.any(Ht != 0.0, axis=1)
+            for cv in consts_variants:
+                term0 = bind_consts(pbm.terminal_cost, cv)
+
+                def _gh_term(d0, term0=term0):
+                    def scl(vec):
+                        xx = vec[:nx]
+                        pp = vec[nx:] if npp > 0 else pg
+                        return term0(xx, pp)
+
+                    return jax.grad(scl)(d0), jax.hessian(scl)(d0)
+
+                for trial in range(3):
+                    pert = (0.0 if trial == 0
+                            else 0.3 * rng.standard_normal(nd_term))
+                    gt, Ht = _gh_term(jnp.asarray(d_base + pert, self.dtype))
+                    gt = np.asarray(gt)
+                    Ht = np.asarray(Ht)
+                    h_any = h_any or np.max(np.abs(Ht)) != 0.0
+                    sup |= gt != 0.0
+                    sup |= np.any(Ht != 0.0, axis=0)
+                    sup |= np.any(Ht != 0.0, axis=1)
             self.term_linear = not h_any
             self.term_support = np.flatnonzero(sup)
 
@@ -599,8 +630,10 @@ class SCPTemplate:
             if npp > 0:
                 v0 = v0 - G @ ref_p
             asm.add_b(rows, -v0)
-            r = plan.rows("vs_nn")
-            asm.add_A(r, vs_idx.reshape(-1), -jnp.eye(N * ns, dtype=dt))
+            if self.vs_nonneg:
+                r = plan.rows("vs_nn")
+                asm.add_A(r, vs_idx.reshape(-1),
+                          -jnp.eye(N * ns, dtype=dt))
 
         # ---- boundary conditions (linearized, optionally relaxed) ----
         def post_bc(g_fn, x_node, x_cols, name, vname):
