@@ -337,15 +337,36 @@ def nt_scaling(spec: ConeSpec, s, z, mu=None) -> NTScaling:
     exp_W = exp_Winv = exp_H = exp_g = None
     if spec.nexp > 0:
         assert mu is not None, "exp-cone scaling needs the barrier parameter"
-        zb = z[spec.exp_indices()]                       # (k, 3)
+        idx = spec.exp_indices()
+        zb = z[idx]                                      # (k, 3)
+        sb = s[idx]
         g, H = exp_dual_grad_hess(zb)
-        muH = mu * H
-        lam, U = jnp.linalg.eigh(muH)                    # SPD for z interior
-        lam = jnp.maximum(lam, tiny)
-        sq = jnp.sqrt(lam)
+        # primal-dual BFGS scaling (ECOS-exp / Dahl-Andersen style): start
+        # from the dual-barrier Hessian at the per-block parameter
+        # mu_b = s'z/3 and apply the BFGS double rank-1 update so the
+        # secant W^2 z = s holds exactly — a pure dual scaling lets the
+        # -W^2 dz term push the primal iterate through the primal boundary
+        # (observed alpha -> 0 stalls); the secant restores the symmetric
+        # cones' ds + W^2 dz = -s consistency
+        mu_b = jnp.maximum(jnp.sum(sb * zb, axis=1), tiny)[:, None, None] / 3.0
+        H0 = mu_b * H
+        H0z = jnp.einsum("kij,kj->ki", H0, zb)
+        zH0z = jnp.maximum(jnp.sum(zb * H0z, axis=1), tiny)
+        sz = jnp.maximum(jnp.sum(sb * zb, axis=1), tiny)
+        W2 = (H0
+              - H0z[:, :, None] * H0z[:, None, :] / zH0z[:, None, None]
+              + sb[:, :, None] * sb[:, None, :] / sz[:, None, None])
+        lam_e, U = jnp.linalg.eigh(W2)                   # SPD by BFGS
+        # relative floor: the BFGS subtraction leaves W2 exactly singular
+        # along directions roundoff can push slightly negative; an absolute
+        # tiny floor would let W^-1 explode to ~1e150 and NaN the KKT
+        eps_r = jnp.asarray(1e-13 if s.dtype == jnp.float64 else 1e-6,
+                            s.dtype)
+        lam_e = jnp.maximum(lam_e, eps_r * lam_e[:, -1:])
+        sq = jnp.sqrt(lam_e)
         exp_W = jnp.einsum("kij,kj,klj->kil", U, sq, U)
         exp_Winv = jnp.einsum("kij,kj,klj->kil", U, 1.0 / sq, U)
-        exp_H = muH
+        exp_H = W2
         exp_g = g
     return NTScaling(w_l, tuple(socs), tuple(dims),
                      exp_W=exp_W, exp_Winv=exp_Winv, exp_H=exp_H, exp_g=exp_g)

@@ -46,7 +46,8 @@ from scptoolbox_tpu.ops.cones import ConeSpec
 
 # Pallas KKT kernels on TPU (f32 path); set to False to fall back to XLA's
 # stock cholesky/cho_solve lowering (e.g. for A/B benchmarking).
-_PALLAS_KKT = True
+_PALLAS_KKT = False  # opt-in: measured 14x slower than XLA's batched
+                     # Cholesky on the TPU bench (see _SchurKKT.use_pallas)
 
 
 _DEBUG = False
@@ -258,12 +259,14 @@ class _SchurKKT:
         self.A_E = A[: self.nz]
         self.A_C = A[self.nz:]
         self.use_lu = jax.default_backend() == "cpu"
-        # On TPU the f32 Cholesky ladder runs as fused Pallas kernels (one
-        # grid program per scenario, matrix resident in VMEM) instead of
-        # XLA's generic loop lowering — see ops/pallas_kernels.py. Gated on
-        # the backend being exactly 'tpu': on any other accelerator the
-        # kernels would silently run in interpreter mode (correct but orders
-        # of magnitude slower than the stock XLA path they replace).
+        # Measured on TPU v5e (batched PTR bench, 128 x ~250-var
+        # subproblems): XLA's batched f32 Cholesky runs the whole bench 14x
+        # faster than the hand-rolled Pallas sweep in ops/pallas_kernels.py
+        # (3.65 -> 51.0 solves/s) — the masked rank-1 Cholesky is O(n)
+        # serial VPU steps while XLA's lowering is blocked. The Pallas
+        # kernels stay available (correctness-tested, opt-in via
+        # _PALLAS_KKT) as the substrate for future fused-panel work, but
+        # the default hot path is stock XLA.
         self.use_pallas = (jax.default_backend() == "tpu"
                            and A.dtype == jnp.float32 and _PALLAS_KKT)
 
@@ -436,6 +439,7 @@ def solve(
     max_iter: int = 50,
     kkt_method: Optional[str] = None,
     kkt_builder=None,
+    enabled=None,
 ) -> IPMSolution:
     """Solve  min c'x  s.t.  Ax + s = b, s in K.  Jittable; vmap over
     (A, b, c) for batched solves (spec must be shared across the batch).
@@ -444,12 +448,18 @@ def solve(
     KKT object with factor/solve — the hook for the stage-structured
     block-tridiagonal factorization (ops/block_kkt.py).
 
+    enabled: optional traced bool; when False the solver returns after the
+    initialization solve without iterating. Under vmap this caps the
+    batched while_loop trip count at the max over ACTIVE lanes, so
+    converged scenarios in a batched SCP loop stop consuming IPM
+    iterations.
+
     All matmuls are pinned to full f32 precision: the TPU default (bf16
     multiply passes) is far too coarse for interior-point linear algebra."""
     with jax.default_matmul_precision("float32"):
         return _solve_impl(A, b, c, spec, tol=tol, tol_almost=tol_almost,
                            max_iter=max_iter, kkt_method=kkt_method,
-                           kkt_builder=kkt_builder)
+                           kkt_builder=kkt_builder, enabled=enabled)
 
 
 @functools.partial(
@@ -467,6 +477,7 @@ def _solve_impl(
     max_iter: int = 50,
     kkt_method: Optional[str] = None,
     kkt_builder=None,
+    enabled=None,
 ) -> IPMSolution:
     dt = A.dtype
     n = A.shape[1]
@@ -653,6 +664,30 @@ def _solve_impl(
 
         dx, dz, ds, dtau, dkap = directions(sigma, eta, dkap_corr)
         alpha = jnp.minimum(1.0, 0.99 * step_len(ds, dz, dtau, dkap))
+        if spec.nexp > 0:
+            # centrality safeguard for the nonsymmetric blocks (the analog
+            # of ECOS-exp's neighborhood check): without it, a single exp
+            # block's gap s_i'z_i can collapse to 0 while the global mu is
+            # still large, its dual-barrier Hessian blows up, and every
+            # subsequent direction exits the cone immediately (alpha -> 0
+            # stall). Backtrack alpha until every exp block keeps
+            # s_i'z_i >= beta_c * mu(alpha).
+            beta_c = jnp.asarray(1e-2, dt)
+            eidx3 = spec.exp_indices()
+
+            def centr_ok(a):
+                s_n = st.s + a * ds
+                z_n = st.z + a * dz
+                mu_n = (jnp.dot(s_n, z_n)
+                        + (st.tau + a * dtau) * (st.kappa + a * dkap)) / (
+                            deg + 1)
+                gaps = jnp.sum(s_n[eidx3] * z_n[eidx3], axis=1)
+                return jnp.all(gaps >= beta_c * mu_n)
+
+            def bt(_, a):
+                return jnp.where(centr_ok(a), a, 0.8 * a)
+
+            alpha = jax.lax.fori_loop(0, 30, bt, alpha)
         if _DEBUG:
             jax.debug.print(
                 "it={it} mu={mu} a_aff={aa} sigma={sg} alpha={al} "
@@ -697,6 +732,8 @@ def _solve_impl(
 
     # check whether the initial point already certifies something
     stop0, status0, pres0, dres0, gap0, merit0 = convergence(init)
+    if enabled is not None:
+        stop0 = stop0 | ~enabled
     init = init._replace(done=stop0, status=status0, pres=pres0, dres=dres0,
                          gap=gap0, best_pres=pres0, best_dres=dres0,
                          best_gap=gap0, best_merit=merit0)

@@ -1,8 +1,12 @@
-"""Scenario-batch parallelism over device meshes (DP-style SPMD)."""
+"""Scenario-batch parallelism over device meshes (DP-style SPMD) and the
+shard_map + psum collective solve path."""
 
 from scptoolbox_tpu.parallel.batch import (BatchResult, make_mesh,
                                            scenario_sweep, shard_batch,
                                            solve_batched_sharded)
+from scptoolbox_tpu.parallel.collective import (CollectiveResult,
+                                                solve_batched_collective)
 
 __all__ = ["BatchResult", "make_mesh", "scenario_sweep", "shard_batch",
-           "solve_batched_sharded"]
+           "solve_batched_sharded", "CollectiveResult",
+           "solve_batched_collective"]

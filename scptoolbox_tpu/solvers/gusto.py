@@ -81,8 +81,9 @@ class GuSTOParameters:
     eps_abs: float = 1e-5
     eps_rel: float = 1e-4
     feas_tol: float = 1e-3
-    pen: str = "quad"          # :softplus (EXP cones) is a later round
+    pen: str = "quad"          # "quad" | "softplus" (EXP-cone LSE epigraph)
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
+    timing_detail: bool = False  # per-phase timing dict (scp.jl:990-995)
     hom: float = 100.0
     q_tr: float = math.inf
     q_exit: float = math.inf
@@ -424,16 +425,25 @@ class GuSTO:
         w = jnp.asarray(self.tmpl.w_trapz, dt)
         return w @ df, w @ dxdt
 
-    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta, lam, consts=None):
-        """One full GuSTO iteration on device (eta, lam traced)."""
-        pars, tmpl = self.pars, self.tmpl
-        sc = self.scaling
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta, lam, consts=None,
+                   active=None):
+        """One full GuSTO iteration on device (eta, lam traced; `active`
+        gates the IPM for converged scenarios in batched solves)."""
+        pars = self.pars
         if consts is None:
             consts = self.consts
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter,
-                        kkt_builder=self._kkt_builder)
+                        kkt_builder=self._kkt_builder, enabled=active)
+        return self._post_solve(sol, const, ref_x, ref_u, ref_p, eta, lam,
+                                consts)
+
+    def _post_solve(self, sol, const, ref_x, ref_u, ref_p, eta, lam, consts):
+        """Extract + re-discretize + rho ingredients (the part of the step
+        after the subproblem solve)."""
+        pars, tmpl = self.pars, self.tmpl
+        sc = self.scaling
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
         L = tmpl.original_cost(x, u, p, consts)
@@ -485,6 +495,33 @@ class GuSTO:
             feas=feas, deviation=deviation, defect_norm=defect_norm,
             rho=rho, tr_lhs_max=tr_lhs_max, viol=viol,
             ipm_status=sol.status, ipm_iters=sol.iters)
+
+    def _step_timed(self, ref_x, ref_u, ref_p, dltv, eta, lam, consts):
+        """Split-phase step with the reference's per-iteration timing keys
+        {formulate, discretize, solve, total, overhead} (scp.jl:990-995)."""
+        fns = self.__dict__.get("_timed_fns")
+        if fns is None:
+            fns = (jax.jit(lambda *a: self._assemble(*a)),
+                   jax.jit(lambda A, b, c: ipm.solve(
+                       A, b, c, self.spec, tol=self.pars.ipm_tol,
+                       max_iter=self.pars.ipm_max_iter,
+                       kkt_builder=self._kkt_builder)),
+                   jax.jit(self._post_solve))
+            self.__dict__["_timed_fns"] = fns
+        f_asm, f_sol, f_post = fns
+        t0 = time.perf_counter()
+        A, b, c, const = jax.block_until_ready(
+            f_asm(ref_x, ref_u, ref_p, dltv, eta, lam, consts))
+        t1 = time.perf_counter()
+        sol = jax.block_until_ready(f_sol(A, b, c))
+        t2 = time.perf_counter()
+        out = jax.block_until_ready(
+            f_post(sol, const, ref_x, ref_u, ref_p, eta, lam, consts))
+        t3 = time.perf_counter()
+        timing = {"formulate": t1 - t0, "solve": t2 - t1,
+                  "discretize": t3 - t2, "total": t3 - t0,
+                  "overhead": 0.0}
+        return out, timing
 
     # per-instance jit: a static `self` hashes by id and a GC-reused id
     # can alias a dead instance's trace (stale baked-in constants)
@@ -543,8 +580,14 @@ class GuSTO:
             t0 = time.perf_counter()
             kappa = (1.0 if (it + 1) < pars.iter_mu
                      else pars.mu ** (1 + (it + 1) - pars.iter_mu))
-            out = self._step(*ref, dltv, jnp.asarray(eta, self.dtype),
-                             jnp.asarray(lam, self.dtype), self.consts)
+            if pars.timing_detail:
+                out, timing = self._step_timed(
+                    *ref, dltv, jnp.asarray(eta, self.dtype),
+                    jnp.asarray(lam, self.dtype), self.consts)
+            else:
+                out = self._step(*ref, dltv, jnp.asarray(eta, self.dtype),
+                                 jnp.asarray(lam, self.dtype), self.consts)
+                timing = None
             n_iter = it + 1
             feas = bool(out["feas"])
             deviation = float(out["deviation"])
@@ -588,7 +631,11 @@ class GuSTO:
                 ipm_iters=int(out["ipm_iters"]),
                 defect_norm=float(out["defect_norm"]),
                 vd_norm=0.0, vs_norm=0.0,
-                timing={"total": time.perf_counter() - t0},
+                timing=(dict(timing,
+                             overhead=(time.perf_counter() - t0
+                                       - timing["total"]))
+                        if timing else
+                        {"total": time.perf_counter() - t0}),
                 extras={"rho": rho, "eta": eta, "lam": lam,
                         "reject": not accept})
             history.append(rec)
@@ -642,6 +689,120 @@ class GuSTO:
             xd=xd, ud=ud, p=p, cost=float(final["L"]),
             t_grid=self.t_np.copy(), feas=bool(final["feas"]),
             history=history, t_cont=np.asarray(ts), x_cont=np.asarray(xs))
+
+
+    # ------------------------------------------------------------------
+
+    def solve_batched(self, bx, bu, bp, n_iters: int):
+        """Batched GuSTO: accept/reject state (eta, lam, J_ref, reference)
+        is per-scenario traced state inside a `lax.scan` of the vmapped
+        step; the host update rule of `solve` (gusto.jl:1310-1427) becomes
+        branch-free `jnp.where` bands, including the lambda ladder and the
+        kappa forced decay. Converged scenarios stop consuming IPM
+        iterations and freeze."""
+        fn = self.__dict__.get("_solve_batched_fn")
+        if fn is None:
+            fn = jax.jit(self._solve_batched_impl,
+                         static_argnames=("n_iters",))
+            self.__dict__["_solve_batched_fn"] = fn
+        return fn(bx, bu, bp, self.consts, n_iters=n_iters)
+
+    def _solve_batched_impl(self, bx, bu, bp, consts, n_iters):
+        B = bx.shape[0]
+        pars = self.pars
+        dt = self.dtype
+        lam0 = jnp.full(B, pars.lam_init, dt)
+
+        bJ, bdltv = jax.vmap(
+            lambda x, u, p, l: self._ref_J_aug_impl(x, u, p, l, consts)
+        )(bx, bu, bp, lam0)
+        eta0 = jnp.full(B, pars.eta_init, dt)
+        done0 = jnp.zeros(B, bool)
+        stat0 = jnp.full(B, int(SCPStatus.FAILED), jnp.int32)
+        itr0 = jnp.zeros(B, jnp.int32)
+        ipmst0 = jnp.full(B, int(ipm.IPMStatus.MAX_ITER), jnp.int32)
+
+        def body(carry, it):
+            (x, u, p, dltv, J_ref, eta, lam, done, status, iters,
+             ipmst) = carry
+            kappa = jnp.where(
+                (it + 1) < pars.iter_mu, 1.0,
+                pars.mu ** (1.0 + (it + 1.0) - pars.iter_mu)).astype(dt)
+            out = jax.vmap(
+                lambda xx, uu, pp, dd, ee, ll, act: self._step_impl(
+                    xx, uu, pp, dd, ee, ll, consts, active=act)
+            )(x, u, p, dltv, eta, lam, ~done)
+            finite = jnp.isfinite(out["J_aug"]) & jnp.isfinite(out["L"])
+            rho = out["rho"]
+            trust_viol = out["tr_lhs_max"] > pars.tr_buffer
+            constr_ok = out["viol"] <= pars.c_buffer
+            dJ_rel = jnp.where(
+                J_ref != 0, jnp.abs(J_ref - out["J_aug"])
+                / jnp.abs(jnp.where(J_ref != 0, J_ref, 1.0)), 0.0)
+            # update rule (gusto.jl:1310-1427), branch-free
+            accept = ~trust_viol & (rho < pars.rho_1)
+            grow_eta = ~trust_viol & (rho < pars.rho_0)
+            shrink_eta = ~trust_viol & (rho >= pars.rho_1)
+            eta_next = jnp.where(
+                grow_eta, jnp.minimum(pars.eta_ub, pars.beta_gr * eta),
+                jnp.where(shrink_eta,
+                          jnp.maximum(pars.eta_lb, eta / pars.beta_sh),
+                          eta)) * kappa
+            lam_next = jnp.where(
+                trust_viol, pars.gamma_fail * lam,
+                jnp.where(accept & constr_ok, pars.lam_init,
+                          jnp.where(accept, pars.gamma_fail * lam, lam)))
+            infeasible = lam > pars.lam_max    # the lam used THIS step
+            stop = ((it > 0)
+                    & ((out["feas"] & ((dJ_rel <= pars.eps_rel)
+                                       | (out["deviation"]
+                                          <= pars.eps_abs)))
+                       | infeasible))
+            newly_done = ~done & (stop | ~finite)
+            adv = ~done & accept & finite
+            sel = lambda a, b: jnp.where(
+                adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
+            x_n = sel(out["x"], x)
+            u_n = sel(out["u"], u)
+            p_n = sel(out["p"], p)
+            dltv_n = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
+                out["dltv"], dltv)
+            J_n = jnp.where(adv, out["J_aug"], J_ref)
+            status_n = jnp.where(
+                newly_done,
+                jnp.where(stop & finite & ~infeasible,
+                          int(SCPStatus.SOLVED),
+                          int(SCPStatus.FAILED)).astype(jnp.int32),
+                status)
+            ipmst_n = jnp.where(adv, out["ipm_status"], ipmst)
+            iters_n = jnp.where(~done, it + 1, iters).astype(jnp.int32)
+            eta_n = jnp.where(done, eta, eta_next)
+            lam_n = jnp.where(done, lam, lam_next)
+            trace = dict(feas=out["feas"], deviation=out["deviation"],
+                         rho=rho, eta=eta, lam=lam, J_aug=out["J_aug"],
+                         accept=accept, active=~done)
+            return ((x_n, u_n, p_n, dltv_n, J_n, eta_n, lam_n,
+                     done | newly_done, status_n, iters_n, ipmst_n), trace)
+
+        (x, u, p, dltv, J, eta, lam, done, status, iters, ipmst), traces = (
+            jax.lax.scan(
+                body,
+                (bx, bu, bp, bdltv, bJ, eta0, lam0, done0, stat0, itr0,
+                 ipmst0),
+                jnp.arange(n_iters)))
+        ipm_ok = ((ipmst == int(ipm.IPMStatus.OPTIMAL))
+                  | (ipmst == int(ipm.IPMStatus.ALMOST_OPTIMAL)))
+        status = jnp.where(~done & ipm_ok & (lam <= pars.lam_max),
+                           jnp.asarray(int(SCPStatus.SOLVED), jnp.int32),
+                           status)
+        defect = jnp.max(
+            jnp.abs(dltv.defects / self.scaling.Sx[None, None, :]),
+            axis=(1, 2))
+        return dict(x=x, u=u, p=p, J_aug=J, feas=defect <= pars.feas_tol,
+                    defect_norm=defect, status=status, iters=iters,
+                    traces=traces)
 
 
 def solve(pbm: TrajectoryProblem, pars: GuSTOParameters,

@@ -235,10 +235,10 @@ class PTR:
 
         return asm.finish(self._S_full, self._c_full)
 
-    def _solve_sub(self, A, b, c):
+    def _solve_sub(self, A, b, c, active=None):
         return ipm.solve(A, b, c, self.spec, tol=self.pars.ipm_tol,
                          max_iter=self.pars.ipm_max_iter,
-                         kkt_builder=self._kkt_builder)
+                         kkt_builder=self._kkt_builder, enabled=active)
 
     def _postprocess(self, sol, const, ref_x, ref_u, ref_p, J_aug_ref,
                      consts):
@@ -275,12 +275,15 @@ class PTR:
             eta_max=jnp.max(eta_x), ipm_status=sol.status,
             ipm_iters=sol.iters, pres=sol.pres, dres=sol.dres)
 
-    def _step_impl(self, ref_x, ref_u, ref_p, dltv, J_aug_ref, consts=None):
-        """One full PTR iteration on device (fused path)."""
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, J_aug_ref, consts=None,
+                   active=None):
+        """One full PTR iteration on device (fused path). `active` (traced
+        bool) short-circuits the IPM for converged scenarios in batched
+        solves."""
         if consts is None:
             consts = self.consts
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, consts)
-        sol = self._solve_sub(A, b, c)
+        sol = self._solve_sub(A, b, c, active=active)
         return self._postprocess(sol, const, ref_x, ref_u, ref_p, J_aug_ref,
                                  consts)
 
@@ -447,15 +450,19 @@ class PTR:
     # ------------------------------------------------------------------
 
     def solve_batched(self, bx, bu, bp, n_iters: int):
-        """Fixed-iteration batched PTR: `lax.scan` over iterations of the
-        vmapped step — ONE device program solving a whole scenario batch
-        (the "batched SCP solves" north star; the reference's trials loop,
-        quadrotor tests.jl:160-202, re-solves serially).
+        """Batched PTR with per-scenario early stop: `lax.scan` over
+        iterations of the vmapped step — ONE device program solving a whole
+        scenario batch (the "batched SCP solves" north star; the
+        reference's trials loop, quadrotor tests.jl:160-202, re-solves
+        serially).
 
-        bx (B,N,nx), bu (B,N,nu), bp (B,np). Returns the final iteration's
-        outputs per scenario plus per-iteration (feas, deviation, improv_rel)
-        traces. Early stopping is not applied (all scenarios run n_iters;
-        converged ones sit at a fixed point, ptr.jl always-accept)."""
+        bx (B,N,nx), bu (B,N,nu), bp (B,np). Each scenario applies the
+        serial stopping criterion (ptr.jl:908-932); converged/diverged
+        scenarios freeze their state and their IPM exits immediately
+        (ipm.solve enabled=False), so the batched inner while_loop trip
+        count follows the max over ACTIVE scenarios. Returns the final
+        outputs per scenario plus per-scenario `status` (SCPStatus codes),
+        `iters`, and per-iteration traces."""
         fn = self.__dict__.get("_solve_batched_fn")
         if fn is None:
             # per-instance jit: a static `self` hashes by id and a GC-reused
@@ -467,28 +474,69 @@ class PTR:
 
     def _solve_batched_impl(self, bx, bu, bp, consts, n_iters):
         B = bx.shape[0]
+        pars = self.pars
         bdltv = jax.vmap(
             lambda xx, uu, pp: self._discretize(xx, uu, pp, consts)
         )(bx, bu, bp)
         bJ = jnp.full((B,), jnp.inf, self.dtype)
+        done0 = jnp.zeros(B, bool)
+        stat0 = jnp.full(B, int(SCPStatus.FAILED), jnp.int32)
+        itr0 = jnp.zeros(B, jnp.int32)
+        ipmst0 = jnp.full(B, int(ipm.IPMStatus.MAX_ITER), jnp.int32)
 
-        def body(carry, _):
-            x, u, p, dltv, J = carry
+        def body(carry, it):
+            x, u, p, dltv, J, done, status, iters, ipmst = carry
             out = jax.vmap(
-                lambda xx, uu, pp, dd, JJ: self._step_impl(
-                    xx, uu, pp, dd, JJ, consts))(x, u, p, dltv, J)
+                lambda xx, uu, pp, dd, JJ, act: self._step_impl(
+                    xx, uu, pp, dd, JJ, consts, active=act)
+            )(x, u, p, dltv, J, ~done)
+            finite = jnp.isfinite(out["J_aug"])
+            # serial stopping criterion per scenario (ptr.jl:908-932)
+            stop = ((it > 0) & out["feas"]
+                    & ((jnp.abs(out["improv_rel"]) <= pars.eps_rel)
+                       | (out["deviation"] <= pars.eps_abs)))
+            newly_done = ~done & (stop | ~finite)
+            adv = ~done & finite          # scenarios that accept this step
+            sel = lambda a, b: jnp.where(
+                adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
+            x_n = sel(out["x"], x)
+            u_n = sel(out["u"], u)
+            p_n = sel(out["p"], p)
+            dltv_n = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
+                out["dltv"], dltv)
+            J_n = jnp.where(adv, out["J_aug"], J)
+            status_n = jnp.where(
+                newly_done,
+                jnp.where(stop & finite, int(SCPStatus.SOLVED),
+                          int(SCPStatus.FAILED)).astype(jnp.int32),
+                status)
+            ipmst_n = jnp.where(adv, out["ipm_status"], ipmst)
+            iters_n = jnp.where(~done, it + 1, iters).astype(jnp.int32)
             trace = dict(feas=out["feas"], deviation=out["deviation"],
-                         improv_rel=out["improv_rel"], J_aug=out["J_aug"])
-            return ((out["x"], out["u"], out["p"], out["dltv"],
-                     out["J_aug"]), trace)
+                         improv_rel=out["improv_rel"], J_aug=out["J_aug"],
+                         active=~done)
+            return ((x_n, u_n, p_n, dltv_n, J_n, done | newly_done,
+                     status_n, iters_n, ipmst_n), trace)
 
-        (x, u, p, dltv, J), traces = jax.lax.scan(
-            body, (bx, bu, bp, bdltv, bJ), None, length=n_iters)
+        (x, u, p, dltv, J, done, status, iters, ipmst), traces = (
+            jax.lax.scan(
+                body, (bx, bu, bp, bdltv, bJ, done0, stat0, itr0, ipmst0),
+                jnp.arange(n_iters)))
+        # iter_max exhaustion with a clean final subproblem is SOLVED
+        # (serial semantics, scp.jl:196-245)
+        ipm_ok = ((ipmst == int(ipm.IPMStatus.OPTIMAL))
+                  | (ipmst == int(ipm.IPMStatus.ALMOST_OPTIMAL)))
+        status = jnp.where(~done & ipm_ok,
+                           jnp.asarray(int(SCPStatus.SOLVED), jnp.int32),
+                           status)
         defect = jnp.max(
             jnp.abs(dltv.defects / self.scaling.Sx[None, None, :]),
             axis=(1, 2))
         return dict(x=x, u=u, p=p, J_aug=J, feas=defect <= self.pars.feas_tol,
-                    defect_norm=defect, traces=traces)
+                    defect_norm=defect, status=status, iters=iters,
+                    traces=traces)
 
 
 def solve(pbm: TrajectoryProblem, pars: PTRParameters,

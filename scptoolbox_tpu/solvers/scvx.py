@@ -81,6 +81,7 @@ class SCvxParameters:
     ipm_max_iter: int = 60
     project_guess: bool = True
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
+    timing_detail: bool = False  # per-phase timing dict (scp.jl:990-995)
 
 
 _Q2KIND = {1.0: ConeKind.L1, 2.0: ConeKind.SOC, 4.0: ConeKind.SOC,
@@ -288,16 +289,24 @@ class SCvx:
                 bind_consts(self.pbm.gtc, consts)(x[-1], p)))
         return pen
 
-    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta, consts=None):
-        """One full SCvx iteration on device (eta traced)."""
-        pars, tmpl = self.pars, self.tmpl
-        sc = self.scaling
+    def _step_impl(self, ref_x, ref_u, ref_p, dltv, eta, consts=None,
+                   active=None):
+        """One full SCvx iteration on device (eta traced; `active` gates
+        the IPM for converged scenarios in batched solves)."""
+        pars = self.pars
         if consts is None:
             consts = self.consts
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter,
-                        kkt_builder=self._kkt_builder)
+                        kkt_builder=self._kkt_builder, enabled=active)
+        return self._post_solve(sol, const, ref_x, ref_u, ref_p, consts)
+
+    def _post_solve(self, sol, const, ref_x, ref_u, ref_p, consts):
+        """Extract + re-discretize + nonlinear augmented cost (the part of
+        the step after the subproblem solve)."""
+        pars, tmpl = self.pars, self.tmpl
+        sc = self.scaling
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
         L_sol = tmpl.original_cost(x, u, p, consts)      # linear cost (no penalty)
@@ -324,6 +333,33 @@ class SCvx:
             feas=feas, deviation=deviation, defect_norm=defect_norm,
             vd_norm=vd_norm, vs_norm=vs_norm, ipm_status=sol.status,
             ipm_iters=sol.iters)
+
+    def _step_timed(self, ref_x, ref_u, ref_p, dltv, eta, consts):
+        """Split-phase step with the reference's per-iteration timing keys
+        {formulate, discretize, solve, total, overhead} (scp.jl:990-995)."""
+        fns = self.__dict__.get("_timed_fns")
+        if fns is None:
+            fns = (jax.jit(lambda *a: self._assemble(*a)),
+                   jax.jit(lambda A, b, c: ipm.solve(
+                       A, b, c, self.spec, tol=self.pars.ipm_tol,
+                       max_iter=self.pars.ipm_max_iter,
+                       kkt_builder=self._kkt_builder)),
+                   jax.jit(self._post_solve))
+            self.__dict__["_timed_fns"] = fns
+        f_asm, f_sol, f_post = fns
+        t0 = time.perf_counter()
+        A, b, c, const = jax.block_until_ready(
+            f_asm(ref_x, ref_u, ref_p, dltv, eta, consts))
+        t1 = time.perf_counter()
+        sol = jax.block_until_ready(f_sol(A, b, c))
+        t2 = time.perf_counter()
+        out = jax.block_until_ready(
+            f_post(sol, const, ref_x, ref_u, ref_p, consts))
+        t3 = time.perf_counter()
+        timing = {"formulate": t1 - t0, "solve": t2 - t1,
+                  "discretize": t3 - t2, "total": t3 - t0,
+                  "overhead": 0.0}
+        return out, timing
 
     # per-instance jit: a static `self` hashes by id and a GC-reused id
     # can alias a dead instance's trace (stale baked-in constants)
@@ -379,8 +415,13 @@ class SCvx:
         n_iter = 0
         for it in range(pars.iter_max):
             t0 = time.perf_counter()
-            out = self._step(*ref, dltv, jnp.asarray(eta, self.dtype),
-                             self.consts)
+            if pars.timing_detail:
+                out, timing = self._step_timed(
+                    *ref, dltv, jnp.asarray(eta, self.dtype), self.consts)
+            else:
+                out = self._step(*ref, dltv, jnp.asarray(eta, self.dtype),
+                                 self.consts)
+                timing = None
             n_iter = it + 1
             feas = bool(out["feas"])
             deviation = float(out["deviation"])
@@ -411,7 +452,11 @@ class SCvx:
                 ipm_iters=int(out["ipm_iters"]),
                 defect_norm=float(out["defect_norm"]),
                 vd_norm=float(out["vd_norm"]), vs_norm=float(out["vs_norm"]),
-                timing={"total": time.perf_counter() - t0},
+                timing=(dict(timing,
+                             overhead=(time.perf_counter() - t0
+                                       - timing["total"]))
+                        if timing else
+                        {"total": time.perf_counter() - t0}),
                 extras={"rho": rho, "eta": eta, "reject": not accept,
                         "tr_update": tr})
             history.append(rec)
@@ -462,6 +507,109 @@ class SCvx:
             xd=xd, ud=ud, p=p, cost=float(final["L"]),
             t_grid=self.t_np.copy(), feas=bool(final["feas"]),
             history=history, t_cont=np.asarray(ts), x_cont=np.asarray(xs))
+
+
+    # ------------------------------------------------------------------
+
+    def solve_batched(self, bx, bu, bp, n_iters: int):
+        """Batched SCvx: the accept/reject state (eta, J_ref, reference
+        trajectory) is per-scenario traced state inside a `lax.scan` of the
+        vmapped step — the host update rule of `solve` (scvx.jl:1000-1045)
+        becomes branch-free `jnp.where` bands. Converged scenarios stop
+        consuming IPM iterations (ipm.solve enabled=False) and freeze.
+
+        Returns per-scenario final (x, u, p), J_aug, feasibility, `status`
+        (SCPStatus codes), `iters`, and per-iteration traces."""
+        fn = self.__dict__.get("_solve_batched_fn")
+        if fn is None:
+            fn = jax.jit(self._solve_batched_impl,
+                         static_argnames=("n_iters",))
+            self.__dict__["_solve_batched_fn"] = fn
+        return fn(bx, bu, bp, self.consts, n_iters=n_iters)
+
+    def _solve_batched_impl(self, bx, bu, bp, consts, n_iters):
+        B = bx.shape[0]
+        pars = self.pars
+        dt = self.dtype
+
+        def ref0(x, u, p):
+            J, dltv = self._ref_J_aug_impl(x, u, p, consts)
+            return J, dltv
+
+        bJ, bdltv = jax.vmap(ref0)(bx, bu, bp)
+        eta0 = jnp.full(B, pars.eta_init, dt)
+        done0 = jnp.zeros(B, bool)
+        stat0 = jnp.full(B, int(SCPStatus.FAILED), jnp.int32)
+        itr0 = jnp.zeros(B, jnp.int32)
+        ipmst0 = jnp.full(B, int(ipm.IPMStatus.MAX_ITER), jnp.int32)
+
+        def body(carry, it):
+            x, u, p, dltv, J_ref, eta, done, status, iters, ipmst = carry
+            out = jax.vmap(
+                lambda xx, uu, pp, dd, ee, act: self._step_impl(
+                    xx, uu, pp, dd, ee, consts, active=act)
+            )(x, u, p, dltv, eta, ~done)
+            finite = jnp.isfinite(out["J_aug"]) & jnp.isfinite(out["L"])
+            pre_improv = J_ref - out["L"]
+            act_improv = J_ref - out["J_aug"]
+            rho = jnp.where(pre_improv != 0, act_improv
+                            / jnp.where(pre_improv != 0, pre_improv, 1.0),
+                            jnp.inf)
+            pre_improv_rel = jnp.where(
+                J_ref != 0, pre_improv / jnp.abs(
+                    jnp.where(J_ref != 0, J_ref, 1.0)), 0.0)
+            # update rule bands (scvx.jl:1000-1045)
+            accept = rho >= pars.rho_0
+            eta_next = jnp.where(
+                rho < pars.rho_1,
+                jnp.maximum(pars.eta_lb, eta / pars.beta_sh),
+                jnp.where(rho < pars.rho_2, eta,
+                          jnp.minimum(pars.eta_ub, pars.beta_gr * eta)))
+            stop = ((it > 0) & out["feas"]
+                    & ((pre_improv_rel <= pars.eps_rel)
+                       | (out["deviation"] <= pars.eps_abs)))
+            newly_done = ~done & (stop | ~finite)
+            adv = ~done & accept & finite
+            sel = lambda a, b: jnp.where(
+                adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
+            x_n = sel(out["x"], x)
+            u_n = sel(out["u"], u)
+            p_n = sel(out["p"], p)
+            dltv_n = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
+                out["dltv"], dltv)
+            J_n = jnp.where(adv, out["J_aug"], J_ref)
+            status_n = jnp.where(
+                newly_done,
+                jnp.where(stop & finite, int(SCPStatus.SOLVED),
+                          int(SCPStatus.FAILED)).astype(jnp.int32),
+                status)
+            ipmst_n = jnp.where(adv, out["ipm_status"], ipmst)
+            iters_n = jnp.where(~done, it + 1, iters).astype(jnp.int32)
+            eta_n = jnp.where(done, eta, eta_next)
+            trace = dict(feas=out["feas"], deviation=out["deviation"],
+                         rho=rho, eta=eta, J_aug=out["J_aug"],
+                         accept=accept, active=~done)
+            return ((x_n, u_n, p_n, dltv_n, J_n, eta_n, done | newly_done,
+                     status_n, iters_n, ipmst_n), trace)
+
+        (x, u, p, dltv, J, eta, done, status, iters, ipmst), traces = (
+            jax.lax.scan(
+                body,
+                (bx, bu, bp, bdltv, bJ, eta0, done0, stat0, itr0, ipmst0),
+                jnp.arange(n_iters)))
+        ipm_ok = ((ipmst == int(ipm.IPMStatus.OPTIMAL))
+                  | (ipmst == int(ipm.IPMStatus.ALMOST_OPTIMAL)))
+        status = jnp.where(~done & ipm_ok,
+                           jnp.asarray(int(SCPStatus.SOLVED), jnp.int32),
+                           status)
+        defect = jnp.max(
+            jnp.abs(dltv.defects / self.scaling.Sx[None, None, :]),
+            axis=(1, 2))
+        return dict(x=x, u=u, p=p, J_aug=J, feas=defect <= pars.feas_tol,
+                    defect_norm=defect, status=status, iters=iters,
+                    traces=traces)
 
 
 def solve(pbm: TrajectoryProblem, pars: SCvxParameters,

@@ -1,0 +1,44 @@
+"""shard_map + psum collective solve on the 8-device virtual CPU mesh:
+the global convergence vote must stop the fleet early and match the
+plain vmapped batched path per scenario (SURVEY.md §5 distributed row)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scptoolbox_tpu.config import SCPStatus
+from scptoolbox_tpu.models.double_integrator import (
+    DoubleIntegratorParameters, double_integrator)
+from scptoolbox_tpu.parallel import make_mesh, solve_batched_collective
+from scptoolbox_tpu.solvers import ptr
+
+
+def test_collective_vote_matches_vmapped():
+    pbm = double_integrator(DoubleIntegratorParameters(drag=True, g=0.01,
+                                                       s=30.0))
+    pars = ptr.PTRParameters(N=31, Nsub=15, wvc=1e3, wtr=5e-3)
+    solver = ptr.PTR(pbm, pars)
+    gx, gu, gp = solver._guess
+    B = 8
+    scale = (1.0 + 0.1 * (jnp.arange(B) / B - 0.5))[:, None, None]
+    bx = gx[None] * scale
+    bu = jnp.broadcast_to(gu, (B, *gu.shape))
+    bp = jnp.broadcast_to(gp, (B, *gp.shape))
+
+    mesh = make_mesh(8)
+    n_iters = 10
+    res = solve_batched_collective(solver, bx, bu, bp, n_iters, mesh=mesh)
+
+    assert int(res.n_feasible) == B
+    assert np.all(np.asarray(res.status) == int(SCPStatus.SOLVED))
+    # the psum vote stopped the whole fleet before the budget
+    assert int(res.outer_iters) < n_iters
+    assert int(res.outer_iters) == int(np.max(np.asarray(res.iters)))
+    assert int(res.total_iters) == int(np.sum(np.asarray(res.iters)))
+
+    # per-scenario parity with the plain vmapped batched path
+    out = solver.solve_batched(bx, bu, bp, n_iters)
+    assert np.asarray(res.J_aug) == pytest.approx(
+        np.asarray(out["J_aug"]), rel=1e-8)
+    assert np.asarray(res.iters).tolist() == np.asarray(
+        out["iters"]).tolist()

@@ -57,6 +57,20 @@ def test_scvx_solves(scvx_sol, mdl):
     _check_common(scvx_sol, mdl, obstacle_tol=1e-5)
 
 
+def test_gusto_softplus_matches_quad(gusto_sol, mdl):
+    """pen="softplus": the log-sum-exp EXP-cone penalty path
+    (soft_penalty, reference gusto.jl:996-1031) converges to the quad-mode
+    optimum within 1% (the smoothing bias shrinks with the sharpness
+    `hom`)."""
+    pbm = quadrotor(mdl)
+    pars = gusto.GuSTOParameters(N=30, Nsub=15, iter_max=20, pen="softplus",
+                                 hom=500.0, lam_init=1e3)
+    sol = gusto.solve(pbm, pars)
+    assert sol.status == SCPStatus.SOLVED
+    assert sol.feas
+    assert sol.cost == pytest.approx(gusto_sol.cost, rel=1e-2)
+
+
 def test_gusto_solves(gusto_sol, mdl):
     _check_common(gusto_sol, mdl, obstacle_tol=5e-3)
 
