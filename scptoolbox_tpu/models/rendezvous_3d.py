@@ -33,7 +33,7 @@ import numpy as np
 
 from scptoolbox_tpu.ops.discretize import DiscretizationType
 from scptoolbox_tpu.parser.problem import (BoundingBox, TrajectoryProblem,
-                                           l1, linf, nonpos, zero)
+                                           l1, linf, nonpos, soc, zero)
 from scptoolbox_tpu.solvers import ptr
 from scptoolbox_tpu.solvers.solution import SCPSolution
 from scptoolbox_tpu.utils import quaternion as quat
@@ -218,7 +218,13 @@ def rendezvous_3d(
     PF_IDX = jnp.asarray([0, 4, 8, 12])  # forward nozzles of quads A-D
 
     def thrust_terms(x, u):
-        q = x[ID_Q]
+        # rotate by the NORMALIZED quaternion: `rotate` scales with ||q||^2
+        # (q v q*, reference quaternion.jl:357-363), and the subproblem has
+        # no convex way to pin ||q|| = 1 — leaving the raw q lets each
+        # re-linearization reward inflating the quaternion (bigger apparent
+        # thrust authority per impulse), a runaway that diverged PTR. On
+        # the unit sphere this is identical to the reference model.
+        q = quat.normalize(x[ID_Q])
         rcs = u[ID_RCS]
         dv = jnp.sum(rcs[:, None] * quat.rotate(q, f_rcs), axis=0) / mdl.m
         dw = iJ @ jnp.sum(rcs[:, None] * torque_arms, axis=0)
@@ -266,6 +272,12 @@ def rendezvous_3d(
             nonpos((last * (cos_ang_tol - jnp.dot(qk, qf))
                     - (1.0 - last))[None]),
             linf(jnp.concatenate([jnp.asarray([wf_tol]), dwf])),
+            # convex restriction ||q|| <= 1 of the unit-sphere manifold:
+            # removes the only direction in which the subproblem could
+            # drift off the sphere (the terminal alignment row REWARDS
+            # scaling q up); the true dynamics live on ||q|| = 1 so this
+            # cuts no feasible trajectory
+            soc(jnp.concatenate([jnp.ones(1), qk])),
         ]
 
     def U(t, k, u, p):
@@ -419,4 +431,9 @@ def solve_rendezvous_3d(
         return False
 
     pbm.callback = callback
+    # custom progress column showing the homotopy rung (reference
+    # problem_add_table_column!, rendezvous_3d definition.jl:141-148)
+    pbm.add_table_column(
+        "hom", "hom", "{:>10s}",
+        lambda rec: f"{float(hom_grid[state['i']]):.2e}")
     return solver.solve(verbose=verbose)

@@ -178,6 +178,19 @@ class TrajectoryProblem:
     # (reference problem.jl `force_hard`; GuSTO otherwise relaxes X with
     # indicator variables and soft penalties, problem.jl:686-807)
     force_hard: bool = False
+    # user-extensible progress-table columns (reference
+    # problem_add_table_column!, problem.jl:649-659): list of
+    # (key, heading, format, fn) where fn(rec: IterationRecord) -> value;
+    # the solvers append them to their verbose tables, so callbacks can
+    # surface custom per-iteration data (e.g. the rendezvous homotopy
+    # rung, reference rendezvous_3d definition.jl:141-148)
+    table_columns: list = dataclasses.field(default_factory=list)
+
+    def add_table_column(self, key: str, heading: str, fmt: str,
+                         fn: Callable) -> None:
+        """Append a custom progress-table column
+        (problem_add_table_column!, problem.jl:649-659)."""
+        self.table_columns.append((key, heading, fmt, fn))
 
     def dims(self) -> Tuple[int, int, int]:
         return self.nx, self.nu, self.np

@@ -303,6 +303,68 @@ class ConicProgram:
                                status=sol.status, duals=duals, x=d,
                                z=sol.z, iters=sol.iters)
 
+    # ---------------- introspection / pretty printing ----------------
+    # (reference regex-searchable accessors program.jl:334-403 and the
+    # show methods of printing.jl:33-99)
+
+    def constraints(self, pattern: str = ".*"):
+        """Constraint groups whose name matches the regex (reference
+        `constraints(prg, "name")`, program.jl:334-403). Returns
+        [(name, kinds, dims)]."""
+        import re
+
+        rx = re.compile(pattern)
+        return [(c.name, tuple(k.name for k in c.kinds), c.dims)
+                for c in self._cons if rx.search(c.name)]
+
+    def variables(self, pattern: str = ".*"):
+        """Variable blocks matching the regex: [(name, shape)]."""
+        import re
+
+        rx = re.compile(pattern)
+        return [(name, v.shape) for name, v in self._vars.items()
+                if rx.search(name)]
+
+    def parameters(self, pattern: str = ".*"):
+        """Parameter blocks matching the regex: [(name, shape)]."""
+        import re
+
+        rx = re.compile(pattern)
+        return [(name, p.shape) for name, (p, _) in self._pars.items()
+                if rx.search(name)]
+
+    def describe(self) -> str:
+        """Human-readable program summary (the reference's show methods,
+        printing.jl:33-99, without the symbolic expression rendering its
+        JuMP layer carries)."""
+        lines = [f"ConicProgram ({'built' if self._built else 'unbuilt'}): "
+                 f"{self.layout.n} variables"
+                 + (f", {self.plan.m} rows" if self._built else "")]
+        if self._vars:
+            lines.append("  variables:")
+            for name, v in self._vars.items():
+                shp = "scalar" if not v.shape else str(v.shape)
+                lines.append(f"    {name}: {shp}")
+        if self._pars:
+            lines.append("  parameters:")
+            for name, (p, val) in self._pars.items():
+                shp = "scalar" if not p.shape else str(p.shape)
+                lines.append(f"    {name}: {shp}")
+        if self._cons:
+            lines.append("  constraints:")
+            for c in self._cons:
+                blocks = ", ".join(
+                    f"{k.name}({d})" for k, d in zip(c.kinds, c.dims))
+                lines.append(f"    {c.name}: {blocks}")
+        if self._costs:
+            lines.append(f"  costs: {len(self._costs)} term(s)"
+                         + ("" if all(self._cost_linear)
+                            else " (quadratic epigraphs lowered)"))
+        return "\n".join(lines)
+
+    def __repr__(self) -> str:
+        return self.describe()
+
     def solve(self, tol: float = 1e-8, max_iter: int = 60,
               backend: str = "jax", **params) -> ProgramSolution:
         """Solve with the given parameter values (jittable; re-solving with

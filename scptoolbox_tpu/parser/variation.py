@@ -60,13 +60,20 @@ class Variation:
 
     def __init__(self, prg: ConicProgram, sol: ProgramSolution,
                  pvals: Optional[Dict] = None, *, relax: bool = False,
-                 reg: float = 1e-8, mode: str = "derivative"):
+                 reg: float = 1e-8, mode: str = "derivative",
+                 perturbations: Optional[Dict] = None):
         """mode="derivative" (default): the smooth KKT tangent system
         (equalities only) — exact directional derivatives under strict
         complementarity. mode="finite": the reference's conic perturbation
         program (variation.jl:363-422), which additionally imposes cone
         feasibility of the perturbed primal/dual point — conservative for
-        curved (SOC) boundaries but valid for finite perturbations."""
+        curved (SOC) boundaries but valid for finite perturbations.
+
+        perturbations: optional {variable name: parser.perturbation.
+        Perturbation} per-element spec (reference perturbation.jl:22-111,
+        consumed at variation.jl:186-226): FIXED pins that element's
+        physical delta to 0, ABSOLUTE bounds |delta| by `amount`, RELATIVE
+        by `amount * |nominal|`; FREE leaves it unconstrained."""
         assert prg._built, "solve the program before building its variation"
         assert mode in ("derivative", "finite")
         self.prg = prg
@@ -206,6 +213,51 @@ class Variation:
             return [zero(A.T @ dzv + dstat(*dvals))]
 
         kkt.add_constraint("stat", stationarity, (dz, *dth_list))
+
+        # ---- per-element perturbation bounds (perturbation.jl semantics,
+        # variation.jl:186-226, 484-494), in PHYSICAL units: the kkt dx is
+        # scaled, so bounds divide by the block's diagonal scale ----
+        if perturbations:
+            from scptoolbox_tpu.parser.perturbation import PerturbationKind
+
+            for vname, pert in perturbations.items():
+                sl_v = prg.layout.sl(vname)
+                S_blk = np.asarray(prg._S_full[sl_v])
+                x_nom = np.asarray(sol.x[sl_v])
+                kinds = pert.kind.reshape(-1)
+                amounts = np.asarray(pert.amount, float).reshape(-1)
+                assert kinds.size == S_blk.size, (
+                    f"perturbation for {vname!r} has {kinds.size} elements, "
+                    f"block has {S_blk.size}")
+                fixed = np.asarray(
+                    [k == PerturbationKind.FIXED for k in kinds])
+                bnd = amounts.copy()
+                rel = np.asarray(
+                    [k == PerturbationKind.RELATIVE for k in kinds])
+                bnd[rel] = amounts[rel] * np.abs(x_nom[rel])
+                bounded = np.asarray(
+                    [k in (PerturbationKind.ABSOLUTE,
+                           PerturbationKind.RELATIVE) for k in kinds])
+                idx0 = sl_v.start
+                fix_idx = np.flatnonzero(fixed) + idx0
+                bnd_idx = np.flatnonzero(bounded) + idx0
+                bnd_amt = bnd[bounded]
+                S_all = np.asarray(prg._S_full)
+
+                if fix_idx.size:
+                    def pin(dxv, fix_idx=fix_idx):
+                        return [zero(dxv[fix_idx])]
+
+                    kkt.add_constraint(f"pert_fix_{vname}", pin, (dx,))
+                if bnd_idx.size:
+                    def box(dxv, bnd_idx=bnd_idx, bnd_amt=bnd_amt,
+                            S=S_all):
+                        # |S_i dx_i| <= amount_i  (physical delta bound)
+                        d_phys = S[bnd_idx] * dxv[bnd_idx]
+                        return [nonpos(jnp.concatenate(
+                            [d_phys - bnd_amt, -d_phys - bnd_amt]))]
+
+                    kkt.add_constraint(f"pert_bnd_{vname}", box, (dx,))
 
         # objective: least-norm perturbation selection (the variational
         # system may be degenerate); with relax, an L1 penalty on the

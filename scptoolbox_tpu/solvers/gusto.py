@@ -83,6 +83,8 @@ class GuSTOParameters:
     feas_tol: float = 1e-3
     pen: str = "quad"          # "quad" | "softplus" (EXP-cone LSE epigraph)
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
+    kkt_method: object = None   # None=default Schur; "lu" = full augmented
+                                # LU (f32-robust: no normal-equations squaring)
     timing_detail: bool = False  # per-phase timing dict (scp.jl:990-995)
     hom: float = 100.0
     q_tr: float = math.inf
@@ -435,7 +437,8 @@ class GuSTO:
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter,
-                        kkt_builder=self._kkt_builder, enabled=active)
+                        kkt_builder=self._kkt_builder,
+                        kkt_method=self.pars.kkt_method, enabled=active)
         return self._post_solve(sol, const, ref_x, ref_u, ref_p, eta, lam,
                                 consts)
 
@@ -505,7 +508,8 @@ class GuSTO:
                    jax.jit(lambda A, b, c: ipm.solve(
                        A, b, c, self.spec, tol=self.pars.ipm_tol,
                        max_iter=self.pars.ipm_max_iter,
-                       kkt_builder=self._kkt_builder)),
+                       kkt_builder=self._kkt_builder,
+                       kkt_method=self.pars.kkt_method)),
                    jax.jit(self._post_solve))
             self.__dict__["_timed_fns"] = fns
         f_asm, f_sol, f_post = fns
@@ -544,6 +548,7 @@ class GuSTO:
               verbose: bool = False) -> SCPSolution:
         """Run the GuSTO loop (reference gusto.jl:425-502)."""
         pars = self.pars
+        user_cols = list(self.pbm.table_columns or ())
         table = Table([
             Column("iter", "iter", "{:4d}"),
             Column("L", "J", "{:11.4e}"),
@@ -554,7 +559,8 @@ class GuSTO:
             Column("lam", "lambda", "{:8.1e}"),
             Column("upd", "upd", "{:>4s}"),
             Column("ipm", "ipm", "{:4d}"),
-        ]) if verbose else None
+        ] + [Column(key, heading, fmt)
+             for key, heading, fmt, _ in user_cols]) if verbose else None
 
         if warm is not None:
             ref = (jnp.asarray(warm.xd, self.dtype),
@@ -639,12 +645,6 @@ class GuSTO:
                 extras={"rho": rho, "eta": eta, "lam": lam,
                         "reject": not accept})
             history.append(rec)
-            if table:
-                table.print_row(dict(
-                    iter=n_iter, L=rec.J_orig, J_aug=J_sol,
-                    defect=rec.defect_norm, rho=rho, eta=eta, lam=lam,
-                    upd=upd + ("" if accept else "!"),
-                    ipm=rec.ipm_iters))
 
             infeasible = lam > pars.lam_max
             stop = (it > 0 and ((feas and (dJ_rel <= pars.eps_rel
@@ -653,6 +653,13 @@ class GuSTO:
             if self.pbm.callback is not None:
                 if self.pbm.callback(rec):
                     stop = False
+            if table:  # after the callback so user columns see its outputs
+                table.print_row(dict(
+                    iter=n_iter, L=rec.J_orig, J_aug=J_sol,
+                    defect=rec.defect_norm, rho=rho, eta=eta, lam=lam,
+                    upd=upd + ("" if accept else "!"),
+                    ipm=rec.ipm_iters,
+                    **{key: fn(rec) for key, _, _, fn in user_cols}))
             if accept:
                 ref = (out["x"], out["u"], out["p"])
                 dltv = out["dltv"]

@@ -68,6 +68,8 @@ class PTRParameters:
     ipm_tol: float = 1e-8
     ipm_max_iter: int = 60
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
+    kkt_method: object = None   # None=default Schur; "lu" = full augmented
+                                # LU (f32-robust: no normal-equations squaring)
     timing_detail: bool = False  # per-phase timing dict (scp.jl:990-995)
 
 
@@ -238,7 +240,8 @@ class PTR:
     def _solve_sub(self, A, b, c, active=None):
         return ipm.solve(A, b, c, self.spec, tol=self.pars.ipm_tol,
                          max_iter=self.pars.ipm_max_iter,
-                         kkt_builder=self._kkt_builder, enabled=active)
+                         kkt_builder=self._kkt_builder,
+                        kkt_method=self.pars.kkt_method, enabled=active)
 
     def _postprocess(self, sol, const, ref_x, ref_u, ref_p, J_aug_ref,
                      consts):
@@ -248,6 +251,18 @@ class PTR:
         sc = self.scaling
         d = self._S_full * sol.x + self._c_full
         x, u, p = tmpl.extract(d)
+        if self.pbm.integration_actions is not None:
+            # project the iterate through the problem's integration action
+            # (e.g. quaternion renormalization): the convex subproblem has
+            # flat directions off the state manifold (||q|| is unobservable
+            # in the linear model) and the IPM's central path wanders along
+            # them — re-linearizing at an off-manifold reference diverges
+            # (the rendezvous_3d quaternion runaway). The reference's
+            # SpecialIntegrationActions (helper.jl:488-497) applies the
+            # same fixup inside every RK4 step; holding the SCP iterates
+            # to the manifold is its outer-loop counterpart.
+            act = bind_consts(self.pbm.integration_actions, consts)
+            x = jax.vmap(act)(x)
         J_aug = sol.obj + const
         J_orig = tmpl.original_cost(x, u, p, consts)
 
@@ -321,6 +336,7 @@ class PTR:
         fully jitted step so callbacks/printing stay possible; the jitted
         no-callback batched path is `solve_batched`."""
         pars = self.pars
+        user_cols = list(self.pbm.table_columns or ())
         table = Table([
             Column("iter", "iter", "{:4d}"),
             Column("J_orig", "J", "{:12.4e}"),
@@ -332,7 +348,8 @@ class PTR:
             Column("dev", "deviation", "{:9.2e}"),
             Column("eta", "eta", "{:8.1e}"),
             Column("ipm", "ipm", "{:4d}"),
-        ]) if verbose else None
+        ] + [Column(key, heading, fmt)
+             for key, heading, fmt, _ in user_cols]) if verbose else None
 
         if warm is not None:
             ref = (jnp.asarray(warm.xd, self.dtype),
@@ -393,12 +410,6 @@ class PTR:
                         if timing else
                         {"total": time.perf_counter() - t0}))
             history.append(rec)
-            if table:
-                table.print_row(dict(
-                    iter=n_iter, J_orig=rec.J_orig, J_aug=J_aug,
-                    dJ_rel=improv_rel, defect=rec.defect_norm,
-                    vd=rec.vd_norm, vs=rec.vs_norm, dev=deviation,
-                    eta=float(out["eta_max"]), ipm=rec.ipm_iters))
 
             stop = (it > 0 and feas
                     and (abs(improv_rel) <= pars.eps_rel
@@ -406,6 +417,15 @@ class PTR:
             if self.pbm.callback is not None:
                 if self.pbm.callback(rec):  # veto stopping (problem.jl:322)
                     stop = False
+            # print AFTER the callback so user columns see its outputs
+            # (reference order: callback ptr.jl:498, print_info :943)
+            if table:
+                table.print_row(dict(
+                    iter=n_iter, J_orig=rec.J_orig, J_aug=J_aug,
+                    dJ_rel=improv_rel, defect=rec.defect_norm,
+                    vd=rec.vd_norm, vs=rec.vs_norm, dev=deviation,
+                    eta=float(out["eta_max"]), ipm=rec.ipm_iters,
+                    **{key: fn(rec) for key, _, _, fn in user_cols}))
             if stop:
                 status = SCPStatus.SOLVED
                 break

@@ -81,6 +81,8 @@ class SCvxParameters:
     ipm_max_iter: int = 60
     project_guess: bool = True
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
+    kkt_method: object = None   # None=default Schur; "lu" = full augmented
+                                # LU (f32-robust: no normal-equations squaring)
     timing_detail: bool = False  # per-phase timing dict (scp.jl:990-995)
 
 
@@ -299,7 +301,8 @@ class SCvx:
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter,
-                        kkt_builder=self._kkt_builder, enabled=active)
+                        kkt_builder=self._kkt_builder,
+                        kkt_method=self.pars.kkt_method, enabled=active)
         return self._post_solve(sol, const, ref_x, ref_u, ref_p, consts)
 
     def _post_solve(self, sol, const, ref_x, ref_u, ref_p, consts):
@@ -343,7 +346,8 @@ class SCvx:
                    jax.jit(lambda A, b, c: ipm.solve(
                        A, b, c, self.spec, tol=self.pars.ipm_tol,
                        max_iter=self.pars.ipm_max_iter,
-                       kkt_builder=self._kkt_builder)),
+                       kkt_builder=self._kkt_builder,
+                       kkt_method=self.pars.kkt_method)),
                    jax.jit(self._post_solve))
             self.__dict__["_timed_fns"] = fns
         f_asm, f_sol, f_post = fns
@@ -383,6 +387,7 @@ class SCvx:
               verbose: bool = False) -> SCPSolution:
         """Run the SCvx loop (reference scvx.jl:460-546)."""
         pars = self.pars
+        user_cols = list(self.pbm.table_columns or ())
         table = Table([
             Column("iter", "iter", "{:4d}"),
             Column("L", "J", "{:11.4e}"),
@@ -393,7 +398,8 @@ class SCvx:
             Column("tr", "tr", "{:>3s}"),
             Column("dev", "deviation", "{:9.2e}"),
             Column("ipm", "ipm", "{:4d}"),
-        ]) if verbose else None
+        ] + [Column(key, heading, fmt)
+             for key, heading, fmt, _ in user_cols]) if verbose else None
 
         if warm is not None:
             ref = (jnp.asarray(warm.xd, self.dtype),
@@ -460,12 +466,6 @@ class SCvx:
                 extras={"rho": rho, "eta": eta, "reject": not accept,
                         "tr_update": tr})
             history.append(rec)
-            if table:
-                table.print_row(dict(iter=n_iter, L=L_sol, J_aug=J_sol,
-                                     defect=rec.defect_norm, rho=rho,
-                                     eta=eta, tr=tr + ("" if accept else "!"),
-                                     dev=deviation,
-                                     ipm=rec.ipm_iters))
 
             stop = (it > 0 and feas
                     and (pre_improv_rel <= pars.eps_rel
@@ -473,6 +473,14 @@ class SCvx:
             if self.pbm.callback is not None:
                 if self.pbm.callback(rec):
                     stop = False
+            if table:  # after the callback so user columns see its outputs
+                table.print_row(dict(iter=n_iter, L=L_sol, J_aug=J_sol,
+                                     defect=rec.defect_norm, rho=rho,
+                                     eta=eta, tr=tr + ("" if accept else "!"),
+                                     dev=deviation,
+                                     ipm=rec.ipm_iters,
+                                     **{key: fn(rec)
+                                        for key, _, _, fn in user_cols}))
             if accept:
                 ref = (out["x"], out["u"], out["p"])
                 dltv = out["dltv"]

@@ -113,10 +113,39 @@ class BlockPoster:
             plan.nonneg(name + "_lo", count * (dim - 1))
             plan.nonneg(name + "_hi", count * (dim - 1))
         elif kind == ConeKind.GEOM:
-            assert dim == 3, (
-                "GEOM lowering implemented for 3-dim (t, x1, x2) blocks only"
-            )
-            plan.soc(name, count, 3)
+            # general n-dim geometric-mean cone (t, x_1..x_n), n = dim-1
+            # (reference cone.jl:103-171 via MOI GeometricMeanCone):
+            # lowered to a balanced binary tree of sqrt nodes
+            # w >= sqrt(u v) <=> SOC [u+v, 2w, u-v], leaves padded with t
+            # itself (geomean(x, t..t) >= t <=> geomean(x) >= t), root
+            # node pinned to t — (m-1) SOC(3) blocks and (m-2) aux
+            # variables per copy, m = next power of two >= n
+            n_leaf = dim - 1
+            assert n_leaf >= 1
+            if n_leaf == 1:
+                # t <= x_1: a single nonneg row
+                plan.nonneg(name, count)
+                self._geom_tree = None
+            else:
+                m_leaf = 1 << (n_leaf - 1).bit_length()
+                level = ([("res", i + 1) for i in range(n_leaf)]
+                         + [("res", 0)] * (m_leaf - n_leaf))
+                aux = 0
+                pairs = []
+                while len(level) > 2:
+                    nxt = []
+                    for a, b2 in zip(level[0::2], level[1::2]):
+                        w = ("aux", aux)
+                        aux += 1
+                        pairs.append((a, b2, w))
+                        nxt.append(w)
+                    level = nxt
+                pairs.append((level[0], level[1], ("res", 0)))
+                self._geom_tree = pairs
+                self._geom_naux = aux
+                if aux:
+                    layout.add(name + "_aux", count, aux)
+                plan.soc(name, count * len(pairs), 3)
         else:
             raise NotImplementedError(f"cone kind {kind}")
 
@@ -160,11 +189,50 @@ class BlockPoster:
             asm.add_A(hi, cols, -J[:, 1:, :] - J[:, 0:1, :])
             asm.add_b(hi, v0[:, 1:] + v0[:, 0:1])
         elif kind == ConeKind.GEOM:
-            # [x1+x2, 2t, x1-x2] in SOC  <=>  sqrt(x1 x2) >= t, x1,x2 >= 0
-            M = jnp.asarray(
-                [[0.0, 1.0, 1.0], [2.0, 0.0, 0.0], [0.0, 1.0, -1.0]], J.dtype
-            )
-            asm.res_soc(plan.rows(name), cols, M @ J, M @ v0)
+            if self._geom_tree is None:
+                # n = 1: t <= x_1 is a single nonneg row x_1 - t >= 0
+                rows = plan.rows(name).reshape(count, 1)
+                asm.add_A(rows, cols, J[:, 0:1, :] - J[:, 1:2, :])
+                asm.add_b(rows, v0[:, 1] - v0[:, 0])
+                return
+            # binary sqrt tree: node (a, b, w) posts
+            # [val(a)+val(b), 2 val(w), val(a)-val(b)] in SOC(3)
+            naux = self._geom_naux
+            nc = cols.shape[1]
+            aux_cols = (np.asarray(layout.idx(name + "_aux"))
+                        .reshape(count, naux) if naux else
+                        np.zeros((count, 0), int))
+            all_cols = np.concatenate([np.asarray(cols), aux_cols], axis=1)
+            dtj = J.dtype
+            Jx = jnp.concatenate(
+                [J, jnp.zeros((count, dim, naux), dtj)], axis=2)
+
+            def val(entry):
+                """(J_row (count, nc+naux), v0_row (count,)) of a node."""
+                tag, i = entry
+                if tag == "res":
+                    return Jx[:, i, :], v0[:, i]
+                row = jnp.zeros((count, nc + naux), dtj)
+                row = row.at[:, nc + i].set(1.0)
+                return row, jnp.zeros((count,), dtj)
+
+            n_pairs = len(self._geom_tree)
+            rows = plan.rows(name).reshape(count, n_pairs, 3)
+            Jrows = []
+            v0rows = []
+            for (a, b2, w) in self._geom_tree:
+                Ja, va = val(a)
+                Jb, vb = val(b2)
+                Jw, vw = val(w)
+                Jrows.append(jnp.stack([Ja + Jb, 2.0 * Jw, Ja - Jb], axis=1))
+                v0rows.append(jnp.stack([va + vb, 2.0 * vw, va - vb],
+                                        axis=1))
+            Jt = jnp.stack(Jrows, axis=1).reshape(count * n_pairs, 3, -1)
+            v0t = jnp.stack(v0rows, axis=1).reshape(count * n_pairs, 3)
+            colt = np.broadcast_to(all_cols[:, None, :],
+                                   (count, n_pairs, all_cols.shape[1])
+                                   ).reshape(count * n_pairs, -1)
+            asm.res_soc(rows.reshape(count * n_pairs, 3), colt, Jt, v0t)
 
 
 def post_quadratic_epigraphs(

@@ -153,3 +153,46 @@ def test_project_properties(spec):
     # Moreau: v = proj_K(v) - proj_K*(-v), check <p, v-p> ~= 0 per SOC/lin part
     resid = v - p
     assert float(jnp.abs(jnp.sum(p * resid))) < 1e-8
+
+
+def test_geom_ndim_lowering():
+    """General n-dim GeometricMeanCone lowering (reference cone.jl:103-171
+    supports any n via MOI; here a balanced sqrt tree of SOCs):
+    max t s.t. t <= geomean(x) at fixed x equals the geometric mean."""
+    import numpy as np
+    from scptoolbox_tpu.parser.problem import geom, zero
+    from scptoolbox_tpu.parser.program import ConicProgram
+
+    for n in (2, 3, 4, 5, 7):
+        rng = np.random.default_rng(n)
+        xval = 0.5 + rng.random(n)
+        prg = ConicProgram()
+        t = prg.variable("t")
+        x = prg.variable("x", n)
+        prg.add_constraint("fix", lambda xv, xval=jnp.asarray(xval):
+                           [zero(xv - xval)], (x,))
+        prg.add_constraint("gm", lambda tv, xv: [geom(jnp.concatenate(
+            [tv.reshape(1), xv]))], (t, x))
+        prg.add_cost(lambda tv: -jnp.sum(tv), (t,))
+        prg.build()
+        sol = prg.solve()
+        gm = float(np.exp(np.mean(np.log(xval))))
+        assert float(sol.values["t"]) == pytest.approx(gm, rel=1e-6), n
+
+
+def test_geom_ndim_am_gm():
+    """min sum(x) s.t. geomean(x) >= 1 has optimum x = 1 (AM-GM)."""
+    import numpy as np
+    from scptoolbox_tpu.parser.problem import geom, nonpos
+    from scptoolbox_tpu.parser.program import ConicProgram
+
+    n = 5
+    prg = ConicProgram()
+    x = prg.variable("x", n)
+    prg.add_constraint("gm", lambda xv: [geom(jnp.concatenate(
+        [jnp.ones(1), xv]))], (x,))
+    prg.add_cost(lambda xv: jnp.sum(xv), (x,))
+    prg.build()
+    sol = prg.solve()
+    assert np.allclose(np.asarray(sol.values["x"]), 1.0, atol=1e-5)
+    assert float(sol.obj) == pytest.approx(float(n), rel=1e-6)

@@ -86,3 +86,53 @@ def test_equality_rhs_sensitivity():
     d = var.solve({"theta": 1.0})
     assert np.allclose(np.asarray(d.dvalues["x"]), a / np.dot(a, a),
                        atol=1e-4)
+
+
+def test_perturbation_spec_fixed_and_bounded():
+    """Per-element Perturbation spec (reference perturbation.jl:22-111,
+    consumed at variation.jl:186-226): FIXED pins a delta element to zero,
+    ABSOLUTE clips |delta| at the amount, FREE leaves the tangent."""
+    from scptoolbox_tpu.parser.perturbation import (ABSOLUTE, FIXED, FREE,
+                                                    Perturbation)
+
+    def build():
+        prg = ConicProgram()
+        x = prg.variable("x", 2)
+        th = prg.parameter("theta", 3.0)
+        # both coordinates ride the active bound: x >= theta elementwise
+        prg.add_constraint("bound", lambda xv, t: [nonpos(t - xv)], (x, th))
+        prg.add_cost(lambda xv: jnp.sum((xv - 2.0) ** 2), (x,))
+        prg.build()
+        return prg, prg.solve()
+
+    prg, sol = build()
+    assert np.allclose(np.asarray(sol.values["x"]), 3.0, atol=1e-6)
+
+    # unconstrained tangent: dx/dtheta = (1, 1)
+    var = variation(prg, sol, {"theta": 3.0})
+    d = var.solve({"theta": 1.0})
+    assert np.allclose(np.asarray(d.dvalues["x"]), 1.0, atol=1e-4)
+
+    # FIXED on element 0 pins its delta; element 1 keeps the tangent
+    prg, sol = build()
+    var = variation(prg, sol, {"theta": 3.0}, relax=True,
+                    perturbations={"x": Perturbation.make((2,),
+                                                          [FIXED, FREE])})
+    d = var.solve({"theta": 1.0})
+    assert abs(float(d.dvalues["x"][0])) < 1e-4
+    assert float(d.dvalues["x"][1]) == pytest.approx(1.0, abs=1e-3)
+
+    # ABSOLUTE amount 0.25 clips the physical delta magnitude
+    prg, sol = build()
+    var = variation(prg, sol, {"theta": 3.0}, relax=True,
+                    perturbations={"x": Perturbation.make(
+                        (2,), ABSOLUTE, 0.25)})
+    d = var.solve({"theta": 1.0})
+    assert np.all(np.abs(np.asarray(d.dvalues["x"])) < 0.25 + 1e-4)
+
+
+def test_perturbation_spec_requires_amount():
+    from scptoolbox_tpu.parser.perturbation import ABSOLUTE, Perturbation
+
+    with pytest.raises(ValueError):
+        Perturbation.make((3,), ABSOLUTE)  # amount mandatory
