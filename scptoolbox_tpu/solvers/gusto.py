@@ -437,7 +437,8 @@ class GuSTO:
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter,
-                        kkt_builder=self._kkt_builder,
+                        kkt_builder=(None if self.pars.kkt_method
+                                     else self._kkt_builder),
                         kkt_method=self.pars.kkt_method, enabled=active)
         return self._post_solve(sol, const, ref_x, ref_u, ref_p, eta, lam,
                                 consts)
@@ -508,7 +509,8 @@ class GuSTO:
                    jax.jit(lambda A, b, c: ipm.solve(
                        A, b, c, self.spec, tol=self.pars.ipm_tol,
                        max_iter=self.pars.ipm_max_iter,
-                       kkt_builder=self._kkt_builder,
+                       kkt_builder=(None if self.pars.kkt_method
+                                    else self._kkt_builder),
                        kkt_method=self.pars.kkt_method)),
                    jax.jit(self._post_solve))
             self.__dict__["_timed_fns"] = fns

@@ -240,7 +240,8 @@ class PTR:
     def _solve_sub(self, A, b, c, active=None):
         return ipm.solve(A, b, c, self.spec, tol=self.pars.ipm_tol,
                          max_iter=self.pars.ipm_max_iter,
-                         kkt_builder=self._kkt_builder,
+                         kkt_builder=(None if self.pars.kkt_method
+                                     else self._kkt_builder),
                         kkt_method=self.pars.kkt_method, enabled=active)
 
     def _postprocess(self, sol, const, ref_x, ref_u, ref_p, J_aug_ref,

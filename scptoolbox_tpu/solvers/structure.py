@@ -35,13 +35,16 @@ def build_kkt_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
 
     enabled=None (auto): use the structured factorization when the dense
     KKT is large enough for the O(m n^2) formation to dominate the scan
-    overhead of the block sweep (n >= 600); True/False force it. Specs with
-    exp cones fall back to dense (the stage classifier does not map the
-    nonsymmetric blocks yet)."""
+    overhead of the block sweep (n >= 600) AND the dtype is f64 — the f32
+    block sweep loses enough accuracy that SCP iterates diverge (measured:
+    the f32 starship solve fails under the structured factorization and
+    converges in 7 iterations under the augmented-LU path); True/False
+    force it. Specs with exp cones fall back to dense (the stage
+    classifier does not map the nonsymmetric blocks yet)."""
     if tmpl.spec.nexp > 0:
         return None
     if enabled is None:
-        enabled = tmpl.n >= 600
+        enabled = tmpl.n >= 600 and tmpl.dtype == jnp.float64
     if not enabled:
         return None
     st = probe_structure(tmpl.layout, tmpl.N, tmpl.spec, assemble)

@@ -6,6 +6,8 @@ and station-interior (room SDF) containment."""
 import numpy as np
 import pytest
 
+from tests.costcheck import check_cost
+
 from scptoolbox_tpu.config import SCPStatus
 from scptoolbox_tpu.models.freeflyer import FreeFlyerParameters, freeflyer
 from scptoolbox_tpu.solvers import scvx
@@ -33,6 +35,7 @@ def scvx_sol(mdl):
 def test_solves(scvx_sol, mdl):
     sol = scvx_sol
     assert sol.status == SCPStatus.SOLVED
+    check_cost("freeflyer_scvx", sol.cost)
     assert sol.feas
     # boundary conditions (definition.jl:456-517)
     assert np.allclose(sol.xd[0][:3], mdl.r0, atol=1e-5)

@@ -6,6 +6,8 @@ choices, and the relaxation must be lossless (|u| = sigma)."""
 import numpy as np
 import pytest
 
+from tests.costcheck import check_cost
+
 from scptoolbox_tpu.models.double_integrator_lcvx import (
     LCvxDoubleIntegratorParameters, solve_lcvx, solve_mp)
 from scptoolbox_tpu.ops.ipm import IPMStatus
@@ -26,6 +28,7 @@ def test_lcvx_matches_pontryagin(choice):
     assert np.all(np.abs(sol.u) <= 2.0 + 1e-5)
 
     # analytic cross-check (reference solve_mp, definition.jl:137-217)
+    check_cost(f"lcvx_double_integrator_{choice}", sol.cost, rel=1e-4)
     mp = solve_mp(mdl)
     assert mp["err"] <= 1e-2
     x_mp = np.stack([np.interp(sol.t, mp["t"], mp["x"][:, i])

@@ -4,6 +4,8 @@ test/examples/oscillator/tests.jl:21-93)."""
 import numpy as np
 import pytest
 
+from tests.costcheck import check_cost
+
 from scptoolbox_tpu.config import SCPStatus
 from scptoolbox_tpu.models.oscillator import (OscillatorParameters,
                                               solve_oscillator)
@@ -16,6 +18,7 @@ def sol():
 
 def test_converges(sol):
     assert sol.status == SCPStatus.SOLVED
+    check_cost("oscillator_ptr", sol.cost)
 
 
 def test_deadband_logic(sol):

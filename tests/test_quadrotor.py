@@ -7,6 +7,8 @@ dynamically consistent."""
 import numpy as np
 import pytest
 
+from tests.costcheck import check_cost
+
 from scptoolbox_tpu.config import SCPStatus
 from scptoolbox_tpu.models.quadrotor import QuadrotorParameters, quadrotor
 from scptoolbox_tpu.solvers import gusto, scvx
@@ -55,6 +57,7 @@ def _check_common(sol, mdl, obstacle_tol):
 
 def test_scvx_solves(scvx_sol, mdl):
     _check_common(scvx_sol, mdl, obstacle_tol=1e-5)
+    check_cost("quadrotor_scvx", scvx_sol.cost)
 
 
 def test_gusto_softplus_matches_quad(gusto_sol, mdl):
@@ -73,6 +76,7 @@ def test_gusto_softplus_matches_quad(gusto_sol, mdl):
 
 def test_gusto_solves(gusto_sol, mdl):
     _check_common(gusto_sol, mdl, obstacle_tol=5e-3)
+    check_cost("quadrotor_gusto", gusto_sol.cost)
 
 
 def test_scvx_gusto_agree(scvx_sol, gusto_sol):

@@ -6,6 +6,8 @@ docking tolerances, impulse bounds, and the minimum-impulse-bit logic."""
 import numpy as np
 import pytest
 
+from tests.costcheck import check_cost
+
 from scptoolbox_tpu.config import SCPStatus
 from scptoolbox_tpu.models.rendezvous_3d import (ID_DOCK_TOL, ID_RCS,
                                                  Rendezvous3DParameters,
@@ -39,6 +41,7 @@ def sol():
 def test_solves(sol):
     assert sol.status == SCPStatus.SOLVED
     assert sol.feas
+    check_cost("rendezvous_3d_ptr", sol.cost)
 
 
 def test_docking(sol):

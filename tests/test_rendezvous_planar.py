@@ -6,6 +6,8 @@ the deadband logic at the final (sharpest) homotopy stage."""
 import numpy as np
 import pytest
 
+from tests.costcheck import check_cost
+
 from scptoolbox_tpu.config import SCPStatus
 from scptoolbox_tpu.models.rendezvous_planar import (
     PlanarRendezvousParameters, solve_rendezvous_planar)
@@ -21,6 +23,7 @@ def sol():
 def test_solves(sol):
     assert sol.status == SCPStatus.SOLVED
     assert sol.feas
+    check_cost("rendezvous_planar_ptr", sol.cost)
 
 
 def test_boundary_conditions(sol):

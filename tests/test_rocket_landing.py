@@ -6,6 +6,8 @@ import math
 import numpy as np
 import pytest
 
+from tests.costcheck import check_cost
+
 from scptoolbox_tpu.models import rocket_landing as rl
 from scptoolbox_tpu.ops.ipm import IPMStatus
 
@@ -25,6 +27,7 @@ def test_converges(pdg):
     _, sol = pdg
     assert sol.status == int(IPMStatus.OPTIMAL)
     assert math.isfinite(sol.cost)
+    check_cost("rocket_landing_lcvx", sol.cost, rel=1e-4)
 
 
 def test_boundary_conditions(pdg):
