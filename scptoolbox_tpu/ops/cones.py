@@ -289,10 +289,13 @@ class NTScaling(NamedTuple):
       socs:  per dim-group tuples (eta (k,1), wbar (k,d)) with
              W_soc = eta * [[w0, w1^T], [w1, I + w1 w1^T/(1+w0)]]
 
-    Exp blocks use the DUAL scaling (ECOS expcone): W^2 = mu * hess F*(z)
-    per block, stored as the symmetric square root and its inverse plus the
-    Hessian and gradient themselves (for the central-path RHS):
-      exp_W/exp_Winv: (k, 3, 3); exp_H = mu*hess (k, 3, 3); exp_g (k, 3).
+    Exp blocks use a primal-dual BFGS scaling (ECOS-exp / Dahl-Andersen
+    style): starting from the dual-barrier Hessian at the per-block
+    parameter, H0 = (s'z/3) * hess F*(z), the double rank-1 BFGS update
+    enforces the secant W^2 z = s exactly (see nt_scaling). Stored:
+      exp_W/exp_Winv: (k, 3, 3) symmetric sqrt of the BFGS W^2 and inverse;
+      exp_H: (k, 3, 3) the BFGS-updated W^2 itself (NOT the raw mu*hess);
+      exp_g: (k, 3) gradient of the dual barrier (central-path RHS).
     None when the spec has no exp cones.
     """
 
@@ -474,14 +477,21 @@ def project(spec: ConeSpec, v) -> jnp.ndarray:
 def exp_violation(vb) -> jnp.ndarray:
     """Feasibility-gap measure of (k, 3) blocks vs K_exp: 0 iff the block is
     in the cone. Uses the log-form residual max(0, x - y log(z/y), -y, -z)
-    for y > 0 and the boundary face {y = 0, x <= 0, z >= 0} otherwise."""
+    for y > 0, z > 0; the true boundary face of cl(K_exp) beyond the
+    interior chart is {y = 0, x <= 0, z >= 0}, measured only when y <= 0 —
+    for y > 0 with z <= 0 the point is NOT in the cone (y e^{x/y} > 0 >= z)
+    and the violation max(-z, y) keeps the measure continuous there."""
     x, y, z = vb[..., 0], vb[..., 1], vb[..., 2]
     ypos = y > 0.0
+    zpos = z > 0.0
     safe_y = jnp.where(ypos, y, 1.0)
-    safe_z = jnp.where(z > 0.0, z, 1.0)
+    safe_z = jnp.where(zpos, z, 1.0)
     r_int = jnp.maximum(x - y * jnp.log(safe_z / safe_y), -z)
     r_face = jnp.maximum(x, jnp.maximum(-z, -y))
-    return jnp.maximum(jnp.where(ypos & (z > 0.0), r_int, r_face), 0.0)
+    r_ynegz = jnp.maximum(-z, y)  # y > 0, z <= 0: infeasible by at least y
+    r = jnp.where(ypos & zpos, r_int,
+                  jnp.where(ypos, r_ynegz, r_face))
+    return jnp.maximum(r, 0.0)
 
 
 def violation(spec: ConeSpec, v) -> jnp.ndarray:

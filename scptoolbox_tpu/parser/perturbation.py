@@ -52,8 +52,14 @@ class Perturbation:
         k = np.empty(shape, dtype=object)
         k[...] = kind if isinstance(kind, PerturbationKind) else None
         if not isinstance(kind, PerturbationKind):
-            k = np.broadcast_to(
-                np.asarray(kind, dtype=object).reshape(-1), shape).copy()
+            karr = np.asarray(kind, dtype=object)
+            if karr.size == int(np.prod(shape)):
+                # element-wise list for the whole block: reshape directly
+                # (reference perturbation.jl:50-89 broadcasts kinds over
+                # arbitrary block shapes, e.g. 6 kinds onto (2, 3))
+                k = karr.reshape(shape).copy()
+            else:
+                k = np.broadcast_to(karr, shape).copy()
         a = np.full(shape, np.nan, dtype=float)
         if amount is not None:
             a[...] = np.broadcast_to(np.asarray(amount, float), shape)

@@ -43,6 +43,21 @@ def test_exp_violation_measure():
     assert float(cn.violation(spec, bad)) > 0.4
 
 
+def test_exp_violation_boundary_continuity():
+    """(x<=0, y>0, z=0) is NOT in cl(K_exp) (y>0 forces y e^{x/y} > 0 >= z)
+    and the measure is continuous as z -> 0+ (ADVICE r3: the old face
+    branch reported 0 there while (-1, 1, 1e-12) scored 26.6)."""
+    at_zero = cn.exp_violation(jnp.asarray([[-1.0, 1.0, 0.0]]))
+    assert float(at_zero[0]) > 0.0
+    near_zero = cn.exp_violation(jnp.asarray([[-1.0, 1.0, 1e-12]]))
+    # no discontinuity: both strictly positive, same order of magnitude cap
+    assert float(near_zero[0]) > 0.0
+    # the true boundary face {y = 0, x <= 0, z >= 0} IS in the closure
+    face = cn.exp_violation(jnp.asarray([[-1.0, 0.0, 0.5],
+                                         [-2.0, 0.0, 0.0]]))
+    assert float(jnp.max(face)) == 0.0
+
+
 def test_exp_max_step_bisection():
     """alpha* for a ray crossing the exp boundary matches a fine scan."""
     spec = ConeSpec(nexp=1)

@@ -136,3 +136,23 @@ def test_perturbation_spec_requires_amount():
 
     with pytest.raises(ValueError):
         Perturbation.make((3,), ABSOLUTE)  # amount mandatory
+
+
+def test_perturbation_spec_multidim_kind_list():
+    """Per-element kind sequences broadcast onto multi-dim block shapes
+    (reference perturbation.jl:50-89; ADVICE r3 medium: 6 kinds onto (2,3)
+    used to raise in np.broadcast_to)."""
+    from scptoolbox_tpu.parser.perturbation import (ABSOLUTE, FIXED, FREE,
+                                                    Perturbation)
+
+    p = Perturbation.make((2, 3), [FIXED, FREE, ABSOLUTE] * 2,
+                          amount=1.5)
+    assert p.kind.shape == (2, 3) and p.amount.shape == (2, 3)
+    assert p.kind[0, 0] is FIXED and p.kind[0, 1] is FREE
+    assert p.kind[1, 2] is ABSOLUTE
+    assert p.amount[0, 1] == np.inf          # FREE forces inf
+    assert p.amount[1, 2] == 1.5
+    # single kind still broadcasts over the whole block
+    q = Perturbation.make((2, 2), FIXED)
+    assert all(k is FIXED for k in q.kind.reshape(-1))
+    assert np.all(q.amount == 0.0)
