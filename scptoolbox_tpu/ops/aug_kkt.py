@@ -1,0 +1,390 @@
+"""Stage-structured AUGMENTED KKT factorization: block-tridiagonal + arrow
+LDL-style sweep over the full quasidefinite system
+
+    [ eps*I      A'          ] [dx]   [rhs_x]
+    [ A       -(W^2 + eps*I) ] [dz] = [rhs_z],
+
+the f32-robust companion to ops/block_kkt.py's normal-equations sweep.
+
+Why a second structured factorization exists (measured on TPU v5e, round 3):
+the reduced Schur/normal-equations paths square the NT-scaling conditioning
+(H = A_C' W^-2 A_C), and in f32 they stall near ~1e-4 relative KKT merit on
+starship-sized subproblems — the SCP loop then diverges. The full augmented
+(quasidefinite) system avoids the squaring and converges the f32 Starship
+flip, but its dense LU is O((n+m)^3) per IPM iteration and XLA's vmapped
+f32 LU of the ~4.8k-row system kernel-faults on TPU. This module keeps the
+augmented system's f32 robustness while exploiting the multiple-shooting
+stage structure (SURVEY.md §5 "long-context" row; the north-star
+"trajectory blocks" centerpiece):
+
+Under the stage permutation with super-blocks t_k = [x_k ; r_k] (stage-k
+decision columns and stage-k constraint rows), the augmented matrix is
+block-tridiagonal with a dense arrow border (global columns p/BC-slack +
+global rows):
+
+    T_k = [ eps*I   B_k' ]      O_k = [ 0    0 ]     V_k = [ 0    0 ]
+          [ B_k   -W2_k  ],           [ C_k  0 ],          [ Gg_k 0 ],
+
+where B_k = A[r_k, x_k], C_k = A[r_k, x_{k+1}] (rows are assigned to their
+LOWEST stage, so coupling only reaches forward), Gg_k = A[r_k, g_cols],
+and W2_k is the dense NT-scaling block restricted to the stage's cone rows
+(cone units never straddle stages). One forward block sweep with a small
+dense LU per stage factors the whole system in O(N s^3 + N s^2 nb + nb^3),
+s = ns + rmax, instead of O((n+m)^3) — ~1600x fewer flops for the Starship
+flip — and the per-stage LUs are small enough to vmap across a scenario
+batch. Quasidefiniteness (Vanderbei) guarantees the sweep's Schur
+complements stay quasidefinite, so the static regularization keeps every
+stage factor well-defined without pivoting across stages; iterative
+refinement against the unregularized operator (same policy as ipm._LUKKT)
+restores full accuracy.
+
+The reference has no analog: ECOS factors a sparse permuted LDL of the
+whole KKT each iteration (reference src/parser/program.jl:419-424 hands the
+problem to the ECOS C library).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scptoolbox_tpu.ops import cones as cn
+from scptoolbox_tpu.ops.cones import ConeSpec
+
+
+class AugStageStructure:
+    """Static stage permutation + row classification over ALL rows (zero
+    AND cone rows) of one subproblem template. Hashes by identity (one jit
+    trace per solver instance)."""
+
+    def __init__(self, layout, N: int, spec: ConeSpec,
+                 A_probe: np.ndarray, global_blocks=()):
+        assert spec.nexp == 0, "exp cones: dense KKT required"
+        self.N = int(N)
+        n = layout.n
+        self.n = n
+        Am = np.asarray(A_probe) != 0.0      # (m, n) sparsity
+        m = Am.shape[0]
+        self.m = m
+
+        # ---- column stages: blocks with leading dim N / N-1 are per-node
+        col_stage = np.full(n, -1, np.int64)
+        for name, (off, shape) in layout._blocks.items():
+            if (shape and shape[0] in (N, N - 1)
+                    and name not in global_blocks):
+                d = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+                for k in range(shape[0]):
+                    col_stage[off + k * d: off + (k + 1) * d] = k
+        stage_cols = [np.flatnonzero(col_stage == k) for k in range(N)]
+        g_cols = np.flatnonzero(col_stage < 0)
+        self.ns = max(len(s) for s in stage_cols)
+        self.ng = len(g_cols)
+        self.g_cols = g_cols
+        scols = np.full((N, self.ns), n, np.int64)   # phantom col n
+        for k, s in enumerate(stage_cols):
+            scols[k, : len(s)] = s
+        self.scols = scols
+        self.scols_next = np.concatenate(
+            [scols[1:], np.full((1, self.ns), n, np.int64)], axis=0)
+        self.col_pad = (scols == n)
+
+        # ---- row units: zero rows and nonneg rows singly, SOC blocks whole
+        units = [np.asarray([i]) for i in range(spec.nz + spec.nl)]
+        off = spec.nz + spec.nl
+        for d in spec.socs:
+            units.append(np.arange(off, off + d))
+            off += d
+        assert off == m, (off, m)
+
+        stage_rows = [[] for _ in range(N)]
+        global_rows = []
+        for u in units:
+            cols = np.flatnonzero(Am[u].any(axis=0))
+            stages = np.unique(col_stage[cols])
+            stages = stages[stages >= 0]
+            if len(stages) == 0:
+                global_rows.extend(u.tolist())
+            elif len(stages) == 1:
+                stage_rows[int(stages[0])].extend(u.tolist())
+            elif len(stages) == 2 and stages[1] == stages[0] + 1:
+                stage_rows[int(stages[0])].extend(u.tolist())
+            else:
+                raise ValueError(
+                    f"row unit spans non-adjacent stages {stages}; "
+                    "dense KKT required")
+        self.rmax = max(max((len(r) for r in stage_rows), default=0), 1)
+        rows_pad = np.full((N, self.rmax), m, np.int64)  # phantom row m
+        for k, r in enumerate(stage_rows):
+            rows_pad[k, : len(r)] = r
+        self.rows_pad = rows_pad
+        self.row_pad = (rows_pad == m)
+        self.global_rows = np.asarray(global_rows, np.int64)
+        self.mg = len(global_rows)
+
+        # ---- W^2 metadata: W^2[i,j] = u_i u_j [same cone block] + d_i δij
+        # block ids: zero rows -1 (no W^2), nonneg rows unique, SOC shared
+        blk = np.full(m + 1, -2, np.int64)   # phantom -2
+        blk[: spec.nz] = -1
+        nid = 0
+        for i in range(spec.nz, spec.nz + spec.nl):
+            blk[i] = nid
+            nid += 1
+        off = spec.nz + spec.nl
+        for d in spec.socs:
+            blk[off: off + d] = nid
+            nid += 1
+            off += d
+        self.blk_stage = blk[rows_pad]                      # (N, rmax)
+        self.blk_global = blk[self.global_rows]             # (mg,)
+
+
+def _flat_w2_vectors(spec: ConeSpec, W, m: int, dtype, cone_mask):
+    """Flat (u, d) with W^2 = u u' (within cone blocks) + diag(d); zero on
+    zero-cone rows. W=None (init solve) gives W^2 = diag(cone_mask)."""
+    if W is None:
+        return jnp.zeros(m, dtype), jnp.asarray(cone_mask, dtype)
+    u = jnp.zeros(m, dtype)
+    d = jnp.zeros(m, dtype)
+    if spec.nl > 0:
+        d = d.at[spec.lin_slice].set(W.w_l ** 2)
+    groups = spec.soc_indices()
+    for (eta, wbar), dim in zip(W.socs, W.soc_dims):
+        idx = groups[dim]                                   # (k, dim)
+        eta2 = eta ** 2                                     # (k, 1)
+        u = u.at[idx].set(jnp.sqrt(2.0 * eta2) * wbar)
+        J = jnp.concatenate([jnp.ones(1, dtype), -jnp.ones(dim - 1, dtype)])
+        d = d.at[idx].set(-eta2 * J[None, :])
+    return u, d
+
+
+class StagedLU:
+    """Drop-in KKT backend for ops.ipm.solve (same factor/solve contract as
+    ipm._LUKKT: rhs layout [rhs_x (n); rhs_z (m)]), factoring the augmented
+    system by the stage sweep described in the module docstring."""
+
+    refine_rounds = 2  # same policy as _LUKKT (refine vs unregularized K0)
+
+    def __init__(self, spec: ConeSpec, A, reg_eps, cone_mask,
+                 structure: AugStageStructure):
+        self.spec, self.A, self.reg_eps = spec, A, reg_eps
+        self.cone_mask = cone_mask
+        self.st = structure
+        self.n, self.m = A.shape[1], A.shape[0]
+        assert self.n == structure.n and self.m == structure.m
+
+    # -- factorization ----------------------------------------------------
+
+    def factor(self, W):
+        st = self.st
+        A = self.A
+        dt = A.dtype
+        N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
+        s = ns + rmax
+        nb = ng + mg
+        Ap = jnp.pad(A, ((0, 1), (0, 1)))                   # phantom row/col
+
+        rows = jnp.asarray(st.rows_pad)
+        B = Ap[rows[:, :, None], jnp.asarray(st.scols)[:, None, :]]
+        C = Ap[rows[:, :, None], jnp.asarray(st.scols_next)[:, None, :]]
+        if ng:
+            Gg = Ap[rows[:, :, None],
+                    jnp.asarray(st.g_cols)[None, None, :]]  # (N, rmax, ng)
+        else:
+            Gg = jnp.zeros((N, rmax, 0), dt)
+
+        # per-stage dense W^2 blocks from the flat (u, d) representation
+        u, d = _flat_w2_vectors(self.spec, W, self.m, dt, self.cone_mask)
+        up = jnp.pad(u, (0, 1))
+        dp = jnp.pad(d, (0, 1))
+        ur = up[rows]                                       # (N, rmax)
+        dr = dp[rows]
+        bid = jnp.asarray(st.blk_stage)
+        same = ((bid[:, :, None] == bid[:, None, :])
+                & (bid[:, :, None] >= 0))
+        W2blk = (ur[:, :, None] * ur[:, None, :] * same
+                 + jax.vmap(jnp.diag)(dr))
+
+        # diagonal stage super-blocks T_k (s, s)
+        reg_x = jnp.where(jnp.asarray(st.col_pad), 1.0, self.reg_eps)
+        reg_z = jnp.where(jnp.asarray(st.row_pad), 1.0, self.reg_eps)
+        T = jnp.zeros((N, s, s), dt)
+        T = T.at[:, :ns, :ns].set(jax.vmap(jnp.diag)(
+            jnp.asarray(reg_x, dt)))
+        T = T.at[:, :ns, ns:].set(jnp.swapaxes(B, 1, 2))
+        T = T.at[:, ns:, :ns].set(B)
+        T = T.at[:, ns:, ns:].set(-(W2blk + jax.vmap(jnp.diag)(
+            jnp.asarray(reg_z, dt))))
+
+        # off-diagonal super-blocks O_k (stage k rows -> stage k+1 cols):
+        # only the (r_k, x_{k+1}) = C_k corner is nonzero
+        O = jnp.zeros((N, s, s), dt)
+        O = O.at[:, ns:, :ns].set(C)
+
+        # arrow border columns V_k (s, nb): (r_k, g_cols) = Gg_k
+        V = jnp.zeros((N, s, nb), dt)
+        if ng:
+            V = V.at[:, ns:, :ng].set(Gg)
+
+        # border block D_g (nb, nb): [[eps*I, Ag'], [Ag, -(W2_g + eps*I)]]
+        if nb:
+            D_g = jnp.zeros((nb, nb), dt)
+            D_g = D_g.at[jnp.arange(ng), jnp.arange(ng)].set(self.reg_eps)
+            if mg:
+                grows = jnp.asarray(st.global_rows)
+                Ag = (A[grows[:, None], jnp.asarray(st.g_cols)[None, :]]
+                      if ng else jnp.zeros((mg, 0), dt))
+                ug = u[grows]
+                dg = d[grows]
+                bg = jnp.asarray(st.blk_global)
+                same_g = (bg[:, None] == bg[None, :]) & (bg[:, None] >= 0)
+                W2g = ug[:, None] * ug[None, :] * same_g + jnp.diag(dg)
+                if ng:
+                    D_g = D_g.at[:ng, ng:].set(Ag.T)
+                    D_g = D_g.at[ng:, :ng].set(Ag)
+                D_g = D_g.at[ng:, ng:].set(
+                    -(W2g + self.reg_eps * jnp.eye(mg, dtype=dt)))
+        else:
+            D_g = jnp.zeros((0, 0), dt)
+
+        # ---- forward block sweep (lax.scan over stages) ----
+        def step(carry, blk):
+            M_k, Vp_k, Sg = carry
+            T_next, O_k, V_next = blk
+            lu_k = jax.scipy.linalg.lu_factor(M_k)
+            EF = jax.scipy.linalg.lu_solve(
+                lu_k, jnp.concatenate([O_k, Vp_k], axis=1))
+            E_k = EF[:, :s]                                 # M_k^-1 O_k
+            F_k = EF[:, s:]                                 # M_k^-1 Vp_k
+            M_next = T_next - O_k.T @ E_k
+            Vp_next = V_next - O_k.T @ F_k if nb else V_next
+            Sg_next = Sg + Vp_k.T @ F_k if nb else Sg
+            return (M_next, Vp_next, Sg_next), (lu_k, E_k, F_k)
+
+        T_feed = jnp.concatenate([T[1:], jnp.eye(s, dtype=dt)[None]], 0)
+        V_feed = jnp.concatenate([V[1:], jnp.zeros((1, s, nb), dt)], 0)
+        (_, _, Sg), (lus, E, F) = jax.lax.scan(
+            step, (T[0], V[0], jnp.zeros((nb, nb), dt)),
+            (T_feed, O, V_feed))
+        lu_g = (jax.scipy.linalg.lu_factor(D_g - Sg) if nb
+                else (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32)))
+        return (lus, E, F, lu_g, O, W)
+
+    # -- solves -----------------------------------------------------------
+
+    def _solve_once(self, fac, rhs):
+        st = self.st
+        lus, E, F, lu_g, O, W = fac
+        n, m = self.n, self.m
+        N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
+        s = ns + rmax
+        nb = ng + mg
+        vec = rhs.ndim == 1
+        Rm = rhs[:, None] if vec else rhs
+        K = Rm.shape[1]
+        dt = Rm.dtype
+        rx = jnp.pad(Rm[:n], ((0, 1), (0, 0)))              # phantom
+        rz = jnp.pad(Rm[n:], ((0, 1), (0, 0)))
+        t = jnp.concatenate(
+            [rx[jnp.asarray(st.scols)], rz[jnp.asarray(st.rows_pad)]],
+            axis=1)                                         # (N, s, K)
+        if nb:
+            t_g = jnp.concatenate(
+                [Rm[:n][jnp.asarray(st.g_cols)] if ng
+                 else jnp.zeros((0, K), dt),
+                 Rm[n:][jnp.asarray(st.global_rows)] if mg
+                 else jnp.zeros((0, K), dt)], axis=0)       # (nb, K)
+        else:
+            t_g = jnp.zeros((0, K), dt)
+
+        # forward: u_k = t_k - O_{k-1}' y_{k-1};  y_k = M_k^-1 u_k;
+        # border accumulator  acc += F_k' u_k  (= Vp_k' y_k, M symmetric)
+        def fwd(carry, blk):
+            y_prev, acc = carry
+            t_k, lu_k, O_prev, F_k = blk
+            u_k = t_k - O_prev.T @ y_prev
+            y_k = jax.scipy.linalg.lu_solve(lu_k, u_k)
+            acc = acc + F_k.T @ u_k if nb else acc
+            return (y_k, acc), y_k
+
+        O_prev = jnp.concatenate([jnp.zeros((1, s, s), dt), O[:-1]], 0)
+        (_, acc), y = jax.lax.scan(
+            fwd, (jnp.zeros((s, K), dt), jnp.zeros((nb, K), dt)),
+            (t, lus, O_prev, F))
+        x_g = (jax.scipy.linalg.lu_solve(lu_g, t_g - acc) if nb
+               else t_g)
+
+        # backward: x_k = y_k - E_k x_{k+1} - F_k x_g
+        def bwd(x_next, blk):
+            y_k, E_k, F_k = blk
+            x_k = y_k - E_k @ x_next
+            if nb:
+                x_k = x_k - F_k @ x_g
+            return x_k, x_k
+
+        _, x = jax.lax.scan(
+            bwd, jnp.zeros((s, K), dt), (y, E, F), reverse=True)
+
+        # scatter back to the flat [dx (n); dz (m)] layout
+        out_x = jnp.zeros((n + 1, K), dt)
+        out_x = out_x.at[jnp.asarray(st.scols).reshape(-1)].set(
+            x[:, :ns].reshape(N * ns, K))
+        out_z = jnp.zeros((m + 1, K), dt)
+        out_z = out_z.at[jnp.asarray(st.rows_pad).reshape(-1)].set(
+            x[:, ns:].reshape(N * rmax, K))
+        if ng:
+            out_x = out_x.at[jnp.asarray(st.g_cols)].set(x_g[:ng])
+        if mg:
+            out_z = out_z.at[jnp.asarray(st.global_rows)].set(x_g[ng:])
+        sol = jnp.concatenate([out_x[:n], out_z[:m]], axis=0)
+        return sol[:, 0] if vec else sol
+
+    def solve(self, fac, rhs):
+        W = fac[5]
+        sol = self._solve_once(fac, rhs)
+        n = self.n
+        mask = (self.cone_mask if sol.ndim == 1 else self.cone_mask[:, None])
+
+        def w2z(z):
+            if W is None:
+                return z * mask
+            app = lambda v: cn.scale(
+                self.spec, W, cn.scale(self.spec, W, v)) * self.cone_mask
+            return app(z) if z.ndim == 1 else jax.vmap(
+                app, in_axes=1, out_axes=1)(z)
+
+        for _ in range(self.refine_rounds):
+            resid = rhs - jnp.concatenate(
+                [self.A.T @ sol[n:], self.A @ sol[:n] - w2z(sol[n:])],
+                axis=0)
+            sol = sol + self._solve_once(fac, resid)
+        return sol
+
+
+def probe_aug_structure(layout, N: int, spec: ConeSpec, assemble_fn,
+                        global_blocks=()) -> Optional[AugStageStructure]:
+    """Build the AugStageStructure from a probe assembly (union of three
+    random-input sparsity probes, same protocol as block_kkt). Returns None
+    when the row structure does not fit the stage pattern or the spec has
+    exp cones (dense fallback)."""
+    if spec.nexp > 0:
+        return None
+    probe = np.asarray(assemble_fn(0)) != 0.0
+    for seed in (1, 2):
+        probe |= np.asarray(assemble_fn(seed)) != 0.0
+    try:
+        return AugStageStructure(layout, N, spec, probe.astype(np.float64),
+                                 global_blocks=global_blocks)
+    except ValueError:
+        return None
+
+
+def make_staged_lu_builder(structure: AugStageStructure):
+    """Adapter for ops.ipm.solve(kkt_builder=...)."""
+
+    def build(spec, A, reg_eps, cone_mask):
+        return StagedLU(spec, A, reg_eps, cone_mask, structure)
+
+    return build

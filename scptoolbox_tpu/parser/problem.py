@@ -114,6 +114,110 @@ class BoundingBox(NamedTuple):
     hi: jnp.ndarray
 
 
+@dataclasses.dataclass(frozen=True)
+class GuSTORunningCost:
+    """GuSTO's structured running cost (reference problem.jl:365-418
+    `problem_set_running_cost!` :gusto branch):
+
+        Gamma(t, k, x, u, p) = u' S(t, k, p) u + ell(t, k, x, p)' u
+                               + g(t, k, x, p).
+
+    Each term carries a convexity flag (the reference infers convexity from
+    which hand-written Jacobians are absent, problem.jl:407-415; here the
+    Jacobians come from AD so the flags are explicit):
+
+      * `*_cvx=True`: the term is kept exact in the convex subproblem. For
+        exactness of the traced quadratic extraction this requires the term
+        to be affine/convex-quadratic in the decision variables: S constant
+        in p (PSD), ell constant in (x, p), g affine/convex-quadratic —
+        the same DCP discipline JuMP enforces on the reference's symbolic
+        expressions.
+      * `*_cvx=False`: the term is LINEARIZED about the reference
+        trajectory in the convex subproblem (reference gusto.jl:570-707:
+        uSu1 / ull1 / g1 first-order expansions), while the TRUE cost
+        evaluation (J_aug, the accept/reject ratio) uses the exact value
+        (gusto.jl :nonconvex branch).
+
+    Callables may be None (term absent). Signatures:
+        S(t, k, p[, consts]) -> (nu, nu);  ell(t, k, x, p[, consts]) ->
+        (nu,);  g(t, k, x, p[, consts]) -> scalar.
+    Consumed by solvers.gusto.GuSTO via `make_gusto_running_cost`."""
+
+    S: Optional[Callable] = None
+    ell: Optional[Callable] = None
+    g: Optional[Callable] = None
+    S_cvx: bool = True
+    ell_cvx: bool = True
+    g_cvx: bool = True
+
+
+def _taylor1(scalar_fn: Callable) -> Callable:
+    """First-order wrapper: value and gradient of `scalar_fn(d)` are exact
+    at EVERY point, but the AD Hessian is identically zero. Composing the
+    convex subproblem's quadratic extraction (which expands about the
+    reference trajectory) with this wrapper therefore posts exactly the
+    reference's linearize-if-nonconvex running cost (gusto.jl:570-707):
+    value + gradient at the reference, no curvature."""
+
+    def wrapped(d):
+        d0 = jax.lax.stop_gradient(d)
+        v0, grad0 = jax.value_and_grad(scalar_fn)(d0)
+        return v0 + jnp.dot(grad0, d - d0)
+
+    return wrapped
+
+
+def make_gusto_running_cost(spec: GuSTORunningCost, nx: int,
+                            nu: int) -> Callable:
+    """Synthesize a `running_cost(t, k, x, u, p[, consts])` from the
+    structured GuSTO triple. The returned function's VALUE is the exact
+    Gamma everywhere (so J_aug / the rho ratio use the true cost,
+    gusto.jl:925-951), while terms flagged nonconvex are wrapped so their
+    AD Hessian vanishes — the subproblem template's quadratic expansion
+    about the reference then reproduces the reference's convexification
+    term by term."""
+
+    def running_cost(t, k, x, u, p, consts=None):
+        def term_value(d):
+            xx = d[:nx]
+            uu = d[nx:nx + nu]
+            pp = d[nx + nu:]
+            kw = {} if consts is None else {"consts": consts}
+            parts = []
+            if spec.S is not None:
+                Sv = spec.S(t, k, pp, **kw) if wants_consts(spec.S) \
+                    else spec.S(t, k, pp)
+                parts.append(("S", uu @ Sv @ uu))
+            if spec.ell is not None:
+                lv = spec.ell(t, k, xx, pp, **kw) if wants_consts(spec.ell) \
+                    else spec.ell(t, k, xx, pp)
+                parts.append(("ell", lv @ uu))
+            if spec.g is not None:
+                gv = spec.g(t, k, xx, pp, **kw) if wants_consts(spec.g) \
+                    else spec.g(t, k, xx, pp)
+                parts.append(("g", gv))
+            return parts
+
+        d = jnp.concatenate([x, u, p])
+        flags = {"S": spec.S_cvx, "ell": spec.ell_cvx, "g": spec.g_cvx}
+        total = jnp.zeros((), d.dtype)
+        for name, cvx in flags.items():
+            def one(dd, name=name):
+                for nm, v in term_value(dd):
+                    if nm == name:
+                        return v
+                return jnp.zeros((), dd.dtype)
+
+            if (name == "S" and spec.S is None) or \
+               (name == "ell" and spec.ell is None) or \
+               (name == "g" and spec.g is None):
+                continue
+            total = total + (one(d) if cvx else _taylor1(one)(d))
+        return total
+
+    return running_cost
+
+
 @dataclasses.dataclass
 class TrajectoryProblem:
     """Definition of a nonconvex trajectory optimization problem
@@ -174,6 +278,11 @@ class TrajectoryProblem:
     urg: Optional[BoundingBox] = None
     prg: Optional[BoundingBox] = None
     callback: Optional[Callable] = None
+    # GuSTO structured running cost u'S u + ell'u + g with per-term
+    # convexity flags (reference problem.jl:365-418 :gusto branch);
+    # consumed by solvers.gusto.GuSTO, which synthesizes `running_cost`
+    # from it when `running_cost` is absent
+    gusto_cost: Optional["GuSTORunningCost"] = None
     # force hard enforcement of the convex state set X even under GuSTO
     # (reference problem.jl `force_hard`; GuSTO otherwise relaxes X with
     # indicator variables and soft penalties, problem.jl:686-807)

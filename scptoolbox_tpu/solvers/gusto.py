@@ -115,6 +115,18 @@ class GuSTO:
     def __init__(self, pbm: TrajectoryProblem, pars: GuSTOParameters,
                  dtype=None):
         assert pars.pen in ("quad", "softplus"), pars.pen
+        if pbm.gusto_cost is not None and pbm.running_cost is None:
+            # synthesize the scalar running cost from GuSTO's structured
+            # triple u'S u + ell'u + g (reference problem.jl:365-418); the
+            # *_cvx=False terms come back with their AD Hessian suppressed
+            # so the template's quadratic expansion about the reference
+            # reproduces the reference's linearize-if-nonconvex
+            # convexification (gusto.jl:570-707) — see
+            # parser.problem.make_gusto_running_cost
+            from scptoolbox_tpu.parser.problem import make_gusto_running_cost
+            pbm = dataclasses.replace(
+                pbm, running_cost=make_gusto_running_cost(
+                    pbm.gusto_cost, pbm.nx, pbm.nu))
         self.pbm = pbm
         self.pars = pars
         self.dtype = dtype or default_dtype()

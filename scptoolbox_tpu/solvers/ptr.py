@@ -69,7 +69,10 @@ class PTRParameters:
     ipm_max_iter: int = 60
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
     kkt_method: object = None   # None=default Schur; "lu" = full augmented
-                                # LU (f32-robust: no normal-equations squaring)
+                                # LU (f32-robust: no normal-equations
+                                # squaring); "staged_lu" = the stage-
+                                # structured augmented sweep (ops/aug_kkt:
+                                # f32-robust AND O(N s^3), batchable)
     timing_detail: bool = False  # per-phase timing dict (scp.jl:990-995)
 
 
@@ -163,6 +166,7 @@ class PTR:
 
         # stage-structured KKT (block-tridiagonal + arrow, ops/block_kkt)
         from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
+                                                      build_staged_lu_builder,
                                                       random_dltv)
 
         _asm_probe = jax.jit(
@@ -180,8 +184,14 @@ class PTR:
             return _asm_probe(r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv,
                               consts)
 
-        self._kkt_builder = build_kkt_builder(
-            tmpl, _probe, enabled=pars.structured_kkt)
+        if pars.kkt_method == "staged_lu":
+            # stage-structured AUGMENTED sweep (f32-robust, batchable);
+            # requested explicitly via kkt_method, built here and passed
+            # down as a kkt_builder (dense-LU fallback when probing fails)
+            self._kkt_builder = build_staged_lu_builder(tmpl, _probe)
+        else:
+            self._kkt_builder = build_kkt_builder(
+                tmpl, _probe, enabled=pars.structured_kkt)
 
         self._step = jax.jit(lambda rx, ru, rp, dltv, J, consts: self._step_impl(rx, ru, rp, dltv, J, consts))
 
@@ -238,11 +248,18 @@ class PTR:
         return asm.finish(self._S_full, self._c_full)
 
     def _solve_sub(self, A, b, c, active=None):
+        method = self.pars.kkt_method
+        if method == "staged_lu":
+            # structured augmented sweep when the probe succeeded, else the
+            # dense augmented LU (same f32-robust algebra, unstructured)
+            builder = self._kkt_builder
+            method = None if builder is not None else "lu"
+        else:
+            builder = None if method else self._kkt_builder
         return ipm.solve(A, b, c, self.spec, tol=self.pars.ipm_tol,
                          max_iter=self.pars.ipm_max_iter,
-                         kkt_builder=(None if self.pars.kkt_method
-                                     else self._kkt_builder),
-                        kkt_method=self.pars.kkt_method, enabled=active)
+                         kkt_builder=builder, kkt_method=method,
+                         enabled=active)
 
     def _postprocess(self, sol, const, ref_x, ref_u, ref_p, J_aug_ref,
                      consts):

@@ -13,6 +13,8 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from scptoolbox_tpu.ops.aug_kkt import (make_staged_lu_builder,
+                                        probe_aug_structure)
 from scptoolbox_tpu.ops.block_kkt import make_kkt_builder, probe_structure
 from scptoolbox_tpu.ops.discretize import DLTV
 
@@ -51,3 +53,16 @@ def build_kkt_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
     if st is None:
         return None
     return make_kkt_builder(st)
+
+
+def build_staged_lu_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"]
+                            ) -> Optional[Callable]:
+    """Probe the stage structure and return a kkt_builder for the AUGMENTED
+    stage-structured factorization (ops/aug_kkt.py) — the f32-robust
+    variant used on TPU (see aug_kkt module docstring for the measured
+    rationale). Returns None when the template does not fit the stage
+    pattern or has exp cones (dense fallback)."""
+    st = probe_aug_structure(tmpl.layout, tmpl.N, tmpl.spec, assemble)
+    if st is None:
+        return None
+    return make_staged_lu_builder(st)
