@@ -175,9 +175,11 @@ class StagedLU:
         self.n, self.m = A.shape[1], A.shape[0]
         assert self.n == structure.n and self.m == structure.m
 
-    # -- factorization ----------------------------------------------------
+    # -- shared block assembly --------------------------------------------
 
-    def factor(self, W):
+    def _build_blocks(self, W):
+        """Gather the stage super-blocks (T, O, V) and the border block
+        D_g of the augmented system under the stage permutation."""
         st = self.st
         A = self.A
         dt = A.dtype
@@ -248,6 +250,64 @@ class StagedLU:
                     -(W2g + self.reg_eps * jnp.eye(mg, dtype=dt)))
         else:
             D_g = jnp.zeros((0, 0), dt)
+        return T, O, V, D_g
+
+    def _gather_rhs(self, rhs):
+        """Permute a flat [rhs_x (n); rhs_z (m)] (optionally multi-column)
+        into per-stage (N, s, K) + border (nb, K) blocks."""
+        st = self.st
+        N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
+        nb = ng + mg
+        n = self.n
+        vec = rhs.ndim == 1
+        Rm = rhs[:, None] if vec else rhs
+        K = Rm.shape[1]
+        dt = Rm.dtype
+        rx = jnp.pad(Rm[:n], ((0, 1), (0, 0)))              # phantom
+        rz = jnp.pad(Rm[n:], ((0, 1), (0, 0)))
+        t = jnp.concatenate(
+            [rx[jnp.asarray(st.scols)], rz[jnp.asarray(st.rows_pad)]],
+            axis=1)                                         # (N, s, K)
+        if nb:
+            t_g = jnp.concatenate(
+                [Rm[:n][jnp.asarray(st.g_cols)] if ng
+                 else jnp.zeros((0, K), dt),
+                 Rm[n:][jnp.asarray(st.global_rows)] if mg
+                 else jnp.zeros((0, K), dt)], axis=0)       # (nb, K)
+        else:
+            t_g = jnp.zeros((0, K), dt)
+        return t, t_g, vec
+
+    def _scatter_sol(self, x, x_g, vec):
+        """Inverse of _gather_rhs: stage blocks (N, s, K) + border (nb, K)
+        back to the flat [dx (n); dz (m)] layout."""
+        st = self.st
+        N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
+        n, m = self.n, self.m
+        K = x.shape[-1]
+        dt = x.dtype
+        out_x = jnp.zeros((n + 1, K), dt)
+        out_x = out_x.at[jnp.asarray(st.scols).reshape(-1)].set(
+            x[:, :ns].reshape(N * ns, K))
+        out_z = jnp.zeros((m + 1, K), dt)
+        out_z = out_z.at[jnp.asarray(st.rows_pad).reshape(-1)].set(
+            x[:, ns:].reshape(N * rmax, K))
+        if ng:
+            out_x = out_x.at[jnp.asarray(st.g_cols)].set(x_g[:ng])
+        if mg:
+            out_z = out_z.at[jnp.asarray(st.global_rows)].set(x_g[ng:])
+        sol = jnp.concatenate([out_x[:n], out_z[:m]], axis=0)
+        return sol[:, 0] if vec else sol
+
+    # -- factorization ----------------------------------------------------
+
+    def factor(self, W):
+        st = self.st
+        dt = self.A.dtype
+        N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
+        s = ns + rmax
+        nb = ng + mg
+        T, O, V, D_g = self._build_blocks(W)
 
         # ---- forward block sweep (lax.scan over stages) ----
         def step(carry, blk):
@@ -277,27 +337,12 @@ class StagedLU:
     def _solve_once(self, fac, rhs):
         st = self.st
         lus, E, F, lu_g, O, W = fac
-        n, m = self.n, self.m
         N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
         s = ns + rmax
         nb = ng + mg
-        vec = rhs.ndim == 1
-        Rm = rhs[:, None] if vec else rhs
-        K = Rm.shape[1]
-        dt = Rm.dtype
-        rx = jnp.pad(Rm[:n], ((0, 1), (0, 0)))              # phantom
-        rz = jnp.pad(Rm[n:], ((0, 1), (0, 0)))
-        t = jnp.concatenate(
-            [rx[jnp.asarray(st.scols)], rz[jnp.asarray(st.rows_pad)]],
-            axis=1)                                         # (N, s, K)
-        if nb:
-            t_g = jnp.concatenate(
-                [Rm[:n][jnp.asarray(st.g_cols)] if ng
-                 else jnp.zeros((0, K), dt),
-                 Rm[n:][jnp.asarray(st.global_rows)] if mg
-                 else jnp.zeros((0, K), dt)], axis=0)       # (nb, K)
-        else:
-            t_g = jnp.zeros((0, K), dt)
+        t, t_g, vec = self._gather_rhs(rhs)
+        K = t.shape[-1]
+        dt = t.dtype
 
         # forward: u_k = t_k - O_{k-1}' y_{k-1};  y_k = M_k^-1 u_k;
         # border accumulator  acc += F_k' u_k  (= Vp_k' y_k, M symmetric)
@@ -326,26 +371,14 @@ class StagedLU:
 
         _, x = jax.lax.scan(
             bwd, jnp.zeros((s, K), dt), (y, E, F), reverse=True)
+        return self._scatter_sol(x, x_g, vec)
 
-        # scatter back to the flat [dx (n); dz (m)] layout
-        out_x = jnp.zeros((n + 1, K), dt)
-        out_x = out_x.at[jnp.asarray(st.scols).reshape(-1)].set(
-            x[:, :ns].reshape(N * ns, K))
-        out_z = jnp.zeros((m + 1, K), dt)
-        out_z = out_z.at[jnp.asarray(st.rows_pad).reshape(-1)].set(
-            x[:, ns:].reshape(N * rmax, K))
-        if ng:
-            out_x = out_x.at[jnp.asarray(st.g_cols)].set(x_g[:ng])
-        if mg:
-            out_z = out_z.at[jnp.asarray(st.global_rows)].set(x_g[ng:])
-        sol = jnp.concatenate([out_x[:n], out_z[:m]], axis=0)
-        return sol[:, 0] if vec else sol
+    # -- guarded refinement (shared by the LU and QR sweeps) ----------------
 
     def solve(self, fac, rhs):
-        W = fac[5]
-        sol = self._solve_once(fac, rhs)
+        W = fac[-1]
         n = self.n
-        mask = (self.cone_mask if sol.ndim == 1 else self.cone_mask[:, None])
+        mask = (self.cone_mask if rhs.ndim == 1 else self.cone_mask[:, None])
 
         def w2z(z):
             if W is None:
@@ -355,12 +388,135 @@ class StagedLU:
             return app(z) if z.ndim == 1 else jax.vmap(
                 app, in_axes=1, out_axes=1)(z)
 
-        for _ in range(self.refine_rounds):
-            resid = rhs - jnp.concatenate(
+        def residual(sol):
+            return rhs - jnp.concatenate(
                 [self.A.T @ sol[n:], self.A @ sol[:n] - w2z(sol[n:])],
                 axis=0)
-            sol = sol + self._solve_once(fac, resid)
-        return sol
+
+        def rnorm(r):
+            # per-column norms so each RHS column keeps its own best
+            return (jnp.linalg.norm(r) if r.ndim == 1
+                    else jnp.linalg.norm(r, axis=0))
+
+        # GUARDED refinement: a stage sweep's contraction factor can exceed
+        # one along worst-case modes at extreme late-IPM scalings, where
+        # unguarded rounds amplify instead of refining — keep the
+        # best-residual iterate so refinement is monotone by construction.
+        best = self._solve_once(fac, rhs)
+        best_res = residual(best)
+        best_nrm = rnorm(best_res)
+        for _ in range(self.refine_rounds):
+            cand = best + self._solve_once(fac, best_res)
+            cand_res = residual(cand)
+            cand_nrm = rnorm(cand_res)
+            better = cand_nrm < best_nrm
+            pick = (better if best.ndim == 1 else better[None, :])
+            best = jnp.where(pick, cand, best)
+            best_res = jnp.where(pick, cand_res, best_res)
+            best_nrm = jnp.minimum(cand_nrm, best_nrm)
+        return best
+
+
+class StagedQR(StagedLU):
+    """Square-root variant of the stage sweep: a block-banded QR of the
+    stage-interior part Kb plus a dense Schur complement for the arrow
+    border. Same O(N s^3) complexity class (~7x the LU sweep's constant),
+    but backward-stable in the band: orthogonal transforms never amplify,
+    so the factor quality in f32 matches globally-pivoted dense LU — this
+    is the square-root Kalman/Riccati trick applied to the whole KKT.
+    (Measured motivation: the LU sweep's Schur-chain subtractions lose ~5
+    digits at IPM-realistic scalings and the f32 starship SCP stalls; see
+    StagedLU docstring and tests.)
+
+    Band QR recurrence (pending (P, C1) carried across stages; R gains a
+    second super-diagonal S2 of fill-in):
+
+        [P_k ]         [R_k  S1_k S2_k]           [C1_k   ]   [S1_k  ]
+        [O_k'] = Q_k * [ 0    ...     ],  Q_k' *  [T_{k+1}] = [P_{k+1}], ...
+
+    Border handled by Schur: Y = Kb^-1 V (via the band factor), S = D_g -
+    V' Y,  x_g = S^-1 (t_g - V' Kb^-1 t),  x_b = Kb^-1 t - Y x_g."""
+
+    # measured on the f32 starship subproblem: 5 guarded rounds reach
+    # dres 4e-8 (beating dense LU's 2e-7); 2 rounds stall at ~3e-6
+    refine_rounds = 5
+
+    def factor(self, W):
+        st = self.st
+        dt = self.A.dtype
+        N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
+        s = ns + rmax
+        nb = ng + mg
+        T, O, V, D_g = self._build_blocks(W)
+
+        def qstep(carry, blk):
+            P, C1 = carry
+            O_k, T_next, O_next = blk
+            Mstack = jnp.concatenate([P, O_k.T], axis=0)      # (2s, s)
+            Qk, Rfull = jnp.linalg.qr(Mstack, mode="complete")
+            R_k = Rfull[:s]
+            U1 = Qk.T @ jnp.concatenate([C1, T_next], axis=0)
+            S1_k, P_next = U1[:s], U1[s:]
+            U2 = Qk.T @ jnp.concatenate(
+                [jnp.zeros((s, s), dt), O_next], axis=0)
+            S2_k, C1_next = U2[:s], U2[s:]
+            return (P_next, C1_next), (Qk, R_k, S1_k, S2_k)
+
+        T_feed = jnp.concatenate([T[1:], jnp.eye(s, dtype=dt)[None]], 0)
+        O_next_feed = jnp.concatenate([O[1:], jnp.zeros((1, s, s), dt)], 0)
+        _, (Q, R, S1, S2) = jax.lax.scan(
+            qstep, (T[0], O[0]), (O, T_feed, O_next_feed))
+        band = (Q, R, S1, S2)
+
+        if nb:
+            Y = self._band_solve(band, V)                   # (N, s, nb)
+            S = D_g - jnp.einsum("ksb,ksc->bc", V, Y)
+            lu_S = jax.scipy.linalg.lu_factor(S)
+        else:
+            Y = jnp.zeros((N, s, 0), dt)
+            lu_S = (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32))
+        return (band, Y, lu_S, V, W)
+
+    def _band_solve(self, band, t):
+        """Solve Kb x = t for stage-blocked t (N, s, K) via the band QR."""
+        Q, R, S1, S2 = band
+        N, s, K = t.shape
+        dt = t.dtype
+
+        def fwd(rho, blk):
+            t_next, Qk = blk
+            U = Qk.T @ jnp.concatenate([rho, t_next], axis=0)
+            return U[s:], U[:s]                              # rho_next, g_k
+
+        t_feed = jnp.concatenate([t[1:], jnp.zeros((1, s, K), dt)], 0)
+        _, g = jax.lax.scan(fwd, t[0], (t_feed, Q))
+
+        def bwd(carry, blk):
+            x1, x2 = carry
+            g_k, R_k, S1_k, S2_k = blk
+            rhs_k = g_k - S1_k @ x1 - S2_k @ x2
+            x_k = jax.scipy.linalg.solve_triangular(R_k, rhs_k, lower=False)
+            return (x_k, x1), x_k
+
+        _, x = jax.lax.scan(
+            bwd, (jnp.zeros((s, K), dt), jnp.zeros((s, K), dt)),
+            (g, R, S1, S2), reverse=True)
+        return x
+
+    def _solve_once(self, fac, rhs):
+        band, Y, lu_S, V, W = fac
+        st = self.st
+        nb = st.ng + st.mg
+        t, t_g, vec = self._gather_rhs(rhs)
+        yb = self._band_solve(band, t)
+        if nb:
+            x_g = jax.scipy.linalg.lu_solve(
+                lu_S, t_g - jnp.einsum("ksb,ksK->bK", V, yb))
+            x = yb - jnp.einsum("ksb,bK->ksK", Y, x_g)
+        else:
+            x_g = t_g
+            x = yb
+        return self._scatter_sol(x, x_g, vec)
 
 
 def probe_aug_structure(layout, N: int, spec: ConeSpec, assemble_fn,
@@ -386,5 +542,15 @@ def make_staged_lu_builder(structure: AugStageStructure):
 
     def build(spec, A, reg_eps, cone_mask):
         return StagedLU(spec, A, reg_eps, cone_mask, structure)
+
+    return build
+
+
+def make_staged_qr_builder(structure: AugStageStructure):
+    """Adapter for ops.ipm.solve(kkt_builder=...): the square-root (band
+    QR) sweep — the f32-robust default for TPU."""
+
+    def build(spec, A, reg_eps, cone_mask):
+        return StagedQR(spec, A, reg_eps, cone_mask, structure)
 
     return build

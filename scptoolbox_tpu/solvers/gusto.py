@@ -49,6 +49,7 @@ from scptoolbox_tpu.ops.discretize import DiscretizationType, discretize, propag
 from scptoolbox_tpu.parser.problem import (ConeKind, TrajectoryProblem,
                                            bind_consts)
 from scptoolbox_tpu.solvers.projection import project_convex
+from scptoolbox_tpu.solvers.structure import ipm_kkt_kwargs
 from scptoolbox_tpu.solvers.autoscale import solver_scaling
 from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
 from scptoolbox_tpu.solvers.subproblem import Assembler
@@ -202,6 +203,7 @@ class GuSTO:
         self._E = jnp.eye(nx, dtype=self.dtype)
 
         from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
+                                                      build_staged_builder,
                                                       random_dltv)
 
         _asm_probe = jax.jit(
@@ -220,8 +222,12 @@ class GuSTO:
                 jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
                 consts)
 
-        self._kkt_builder = build_kkt_builder(
-            tmpl, _probe, enabled=pars.structured_kkt)
+        if pars.kkt_method in ("staged_lu", "staged_qr"):
+            self._kkt_builder = build_staged_builder(
+                tmpl, _probe, variant=pars.kkt_method.split("_")[1])
+        else:
+            self._kkt_builder = build_kkt_builder(
+                tmpl, _probe, enabled=pars.structured_kkt)
 
         self._step = jax.jit(self._step_impl, static_argnames=())
 
@@ -449,9 +455,9 @@ class GuSTO:
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter,
-                        kkt_builder=(None if self.pars.kkt_method
-                                     else self._kkt_builder),
-                        kkt_method=self.pars.kkt_method, enabled=active)
+                        enabled=active,
+                        **ipm_kkt_kwargs(self.pars.kkt_method,
+                                         self._kkt_builder))
         return self._post_solve(sol, const, ref_x, ref_u, ref_p, eta, lam,
                                 consts)
 
@@ -521,9 +527,8 @@ class GuSTO:
                    jax.jit(lambda A, b, c: ipm.solve(
                        A, b, c, self.spec, tol=self.pars.ipm_tol,
                        max_iter=self.pars.ipm_max_iter,
-                       kkt_builder=(None if self.pars.kkt_method
-                                    else self._kkt_builder),
-                       kkt_method=self.pars.kkt_method)),
+                       **ipm_kkt_kwargs(self.pars.kkt_method,
+                                        self._kkt_builder))),
                    jax.jit(self._post_solve))
             self.__dict__["_timed_fns"] = fns
         f_asm, f_sol, f_post = fns

@@ -166,7 +166,7 @@ class PTR:
 
         # stage-structured KKT (block-tridiagonal + arrow, ops/block_kkt)
         from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
-                                                      build_staged_lu_builder,
+                                                      build_staged_builder,
                                                       random_dltv)
 
         _asm_probe = jax.jit(
@@ -184,11 +184,12 @@ class PTR:
             return _asm_probe(r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv,
                               consts)
 
-        if pars.kkt_method == "staged_lu":
+        if pars.kkt_method in ("staged_lu", "staged_qr"):
             # stage-structured AUGMENTED sweep (f32-robust, batchable);
             # requested explicitly via kkt_method, built here and passed
             # down as a kkt_builder (dense-LU fallback when probing fails)
-            self._kkt_builder = build_staged_lu_builder(tmpl, _probe)
+            self._kkt_builder = build_staged_builder(
+                tmpl, _probe, variant=pars.kkt_method.split("_")[1])
         else:
             self._kkt_builder = build_kkt_builder(
                 tmpl, _probe, enabled=pars.structured_kkt)
@@ -248,18 +249,11 @@ class PTR:
         return asm.finish(self._S_full, self._c_full)
 
     def _solve_sub(self, A, b, c, active=None):
-        method = self.pars.kkt_method
-        if method == "staged_lu":
-            # structured augmented sweep when the probe succeeded, else the
-            # dense augmented LU (same f32-robust algebra, unstructured)
-            builder = self._kkt_builder
-            method = None if builder is not None else "lu"
-        else:
-            builder = None if method else self._kkt_builder
+        from scptoolbox_tpu.solvers.structure import ipm_kkt_kwargs
         return ipm.solve(A, b, c, self.spec, tol=self.pars.ipm_tol,
-                         max_iter=self.pars.ipm_max_iter,
-                         kkt_builder=builder, kkt_method=method,
-                         enabled=active)
+                         max_iter=self.pars.ipm_max_iter, enabled=active,
+                         **ipm_kkt_kwargs(self.pars.kkt_method,
+                                          self._kkt_builder))
 
     def _postprocess(self, sol, const, ref_x, ref_u, ref_p, J_aug_ref,
                      consts):

@@ -14,9 +14,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from scptoolbox_tpu.ops.aug_kkt import (make_staged_lu_builder,
+                                        make_staged_qr_builder,
                                         probe_aug_structure)
 from scptoolbox_tpu.ops.block_kkt import make_kkt_builder, probe_structure
 from scptoolbox_tpu.ops.discretize import DLTV
+
+
+def ipm_kkt_kwargs(kkt_method, kkt_builder) -> dict:
+    """Resolve a solver's (pars.kkt_method, probed kkt_builder) pair into
+    ipm.solve kwargs. Staged variants route through the probed builder
+    (falling back to the dense augmented LU when probing failed — same
+    f32-robust algebra, unstructured); any other explicit kkt_method string
+    overrides the builder."""
+    if kkt_method in ("staged_lu", "staged_qr"):
+        if kkt_builder is not None:
+            return dict(kkt_builder=kkt_builder, kkt_method=None)
+        return dict(kkt_builder=None, kkt_method="lu")
+    return dict(kkt_builder=None if kkt_method else kkt_builder,
+                kkt_method=kkt_method)
 
 
 def random_dltv(rng: np.random.Generator, N: int, nx: int, nu: int,
@@ -55,14 +70,17 @@ def build_kkt_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
     return make_kkt_builder(st)
 
 
-def build_staged_lu_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"]
-                            ) -> Optional[Callable]:
+def build_staged_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
+                         variant: str = "qr") -> Optional[Callable]:
     """Probe the stage structure and return a kkt_builder for the AUGMENTED
     stage-structured factorization (ops/aug_kkt.py) — the f32-robust
-    variant used on TPU (see aug_kkt module docstring for the measured
-    rationale). Returns None when the template does not fit the stage
-    pattern or has exp cones (dense fallback)."""
+    path (see aug_kkt module docstring for the measured rationale).
+    variant="qr" (square-root band sweep, backward-stable — the TPU
+    default) or "lu" (per-stage LU Schur chain, cheaper but loses digits
+    at extreme scalings). Returns None when the template does not fit the
+    stage pattern or has exp cones (dense fallback)."""
     st = probe_aug_structure(tmpl.layout, tmpl.N, tmpl.spec, assemble)
     if st is None:
         return None
-    return make_staged_lu_builder(st)
+    return (make_staged_qr_builder(st) if variant == "qr"
+            else make_staged_lu_builder(st))
