@@ -167,6 +167,12 @@ class StagedLU:
 
     refine_rounds = 2  # same policy as _LUKKT (refine vs unregularized K0)
 
+    # Pose the system in NT-scaled dual variables dz~ = W dz (conelp's
+    # form): the cone block becomes exactly -I, removing the W^2 spread
+    # (~1e8 in f32 late in the IPM) from the stage pivots entirely. The
+    # scaled rows A~ = W^-1 A_C are formed once per factorization.
+    scale_rows = False
+
     def __init__(self, spec: ConeSpec, A, reg_eps, cone_mask,
                  structure: AugStageStructure):
         self.spec, self.A, self.reg_eps = spec, A, reg_eps
@@ -177,12 +183,27 @@ class StagedLU:
 
     # -- shared block assembly --------------------------------------------
 
-    def _build_blocks(self, W):
+    def _effective_system(self, W):
+        """(A_eff, W_eff): the system actually factored. In NT-scaled
+        mode the cone rows are pre-scaled by W^-1 (A~ = W^-1 A, zero rows
+        pass through cn.scale) and the cone block collapses to -I, i.e.
+        the W=None form of the same algebra — so refinement, residuals,
+        and the sweep all run in the scaled metric, which weights the
+        nearly-active coordinates correctly (euclidean-norm refinement of
+        the raw system leaves ~10%% relative errors in s_i ~ mu rows and
+        the IPM step length collapses; measured f32 starship)."""
+        if self.scale_rows and W is not None:
+            A_eff = jax.vmap(
+                lambda v: cn.scale(self.spec, W, v, inverse=True),
+                in_axes=1, out_axes=1)(self.A)
+            return A_eff, None
+        return self.A, W
+
+    def _build_blocks(self, A, W):
         """Gather the stage super-blocks (T, O, V) and the border block
         D_g of the augmented system under the stage permutation."""
         st = self.st
-        A = self.A
-        dt = A.dtype
+        dt = self.A.dtype
         N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
         s = ns + rmax
         nb = ng + mg
@@ -307,7 +328,8 @@ class StagedLU:
         N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
         s = ns + rmax
         nb = ng + mg
-        T, O, V, D_g = self._build_blocks(W)
+        A_eff, W_eff = self._effective_system(W)
+        T, O, V, D_g = self._build_blocks(A_eff, W_eff)
 
         # ---- forward block sweep (lax.scan over stages) ----
         def step(carry, blk):
@@ -330,13 +352,29 @@ class StagedLU:
             (T_feed, O, V_feed))
         lu_g = (jax.scipy.linalg.lu_factor(D_g - Sg) if nb
                 else (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32)))
-        return (lus, E, F, lu_g, O, W)
+        return (lus, E, F, lu_g, O, A_eff, W_eff, W)
 
     # -- solves -----------------------------------------------------------
 
+    def _pre_rhs(self, W, rhs):
+        """Into the NT-scaled metric: rhs_z -> W^-1 rhs_z on cone rows."""
+        if not self.scale_rows or W is None:
+            return rhs
+        n = self.n
+        app = lambda v: cn.scale(self.spec, W, v, inverse=True)
+        if rhs.ndim == 1:
+            return jnp.concatenate([rhs[:n], app(rhs[n:])])
+        sc = jax.vmap(app, in_axes=1, out_axes=1)(rhs[n:])
+        return jnp.concatenate([rhs[:n], sc], axis=0)
+
+    # dz = W^-1 dz~ on the way out: same transform as _pre_rhs
+    _post_sol = _pre_rhs
+
     def _solve_once(self, fac, rhs):
+        """One factored solve in the (possibly NT-scaled) system's own
+        variables — no metric transforms here; `solve` handles them."""
         st = self.st
-        lus, E, F, lu_g, O, W = fac
+        lus, E, F, lu_g, O, A_eff, W_eff, W = fac
         N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
         s = ns + rmax
         nb = ng + mg
@@ -376,21 +414,27 @@ class StagedLU:
     # -- guarded refinement (shared by the LU and QR sweeps) ----------------
 
     def solve(self, fac, rhs):
-        W = fac[-1]
+        A_eff, W_eff, W = fac[-3], fac[-2], fac[-1]
         n = self.n
         mask = (self.cone_mask if rhs.ndim == 1 else self.cone_mask[:, None])
+        # refinement runs in the SAME metric the factorization uses: for
+        # the NT-scaled system the cone block is -I, so the unregularized
+        # operator is the W=None form of A_eff — and the guard norm then
+        # weights nearly-active coordinates correctly
+        rhs = self._pre_rhs(W, rhs)
 
         def w2z(z):
-            if W is None:
+            if W_eff is None:
                 return z * mask
             app = lambda v: cn.scale(
-                self.spec, W, cn.scale(self.spec, W, v)) * self.cone_mask
+                self.spec, W_eff, cn.scale(self.spec, W_eff, v)
+            ) * self.cone_mask
             return app(z) if z.ndim == 1 else jax.vmap(
                 app, in_axes=1, out_axes=1)(z)
 
         def residual(sol):
             return rhs - jnp.concatenate(
-                [self.A.T @ sol[n:], self.A @ sol[:n] - w2z(sol[n:])],
+                [A_eff.T @ sol[n:], A_eff @ sol[:n] - w2z(sol[n:])],
                 axis=0)
 
         def rnorm(r):
@@ -414,7 +458,7 @@ class StagedLU:
             best = jnp.where(pick, cand, best)
             best_res = jnp.where(pick, cand_res, best_res)
             best_nrm = jnp.minimum(cand_nrm, best_nrm)
-        return best
+        return self._post_sol(W, best)
 
 
 class StagedQR(StagedLU):
@@ -441,13 +485,21 @@ class StagedQR(StagedLU):
     # dres 4e-8 (beating dense LU's 2e-7); 2 rounds stall at ~3e-6
     refine_rounds = 5
 
+    # measured: the NT-scaled system lets the f32 starship subproblem IPM
+    # reach OPTIMAL (gap 2.9e-6) where the unscaled QR sweep stalls at
+    # 2.7e-4 and dense LU at 7.8e-6; the scaled LU sweep is WORSE than the
+    # unscaled one (the Schur-chain subtractions dominate there), so only
+    # the QR variant defaults to scaled variables.
+    scale_rows = True
+
     def factor(self, W):
         st = self.st
         dt = self.A.dtype
         N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
         s = ns + rmax
         nb = ng + mg
-        T, O, V, D_g = self._build_blocks(W)
+        A_eff, W_eff = self._effective_system(W)
+        T, O, V, D_g = self._build_blocks(A_eff, W_eff)
 
         def qstep(carry, blk):
             P, C1 = carry
@@ -475,7 +527,7 @@ class StagedQR(StagedLU):
         else:
             Y = jnp.zeros((N, s, 0), dt)
             lu_S = (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32))
-        return (band, Y, lu_S, V, W)
+        return (band, Y, lu_S, V, A_eff, W_eff, W)
 
     def _band_solve(self, band, t):
         """Solve Kb x = t for stage-blocked t (N, s, K) via the band QR."""
@@ -504,7 +556,7 @@ class StagedQR(StagedLU):
         return x
 
     def _solve_once(self, fac, rhs):
-        band, Y, lu_S, V, W = fac
+        band, Y, lu_S, V, A_eff, W_eff, W = fac
         st = self.st
         nb = st.ng + st.mg
         t, t_g, vec = self._gather_rhs(rhs)

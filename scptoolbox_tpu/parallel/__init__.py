@@ -1,12 +1,14 @@
 """Scenario-batch parallelism over device meshes (DP-style SPMD) and the
-shard_map + psum collective solve path."""
+shard_map + psum collective solve path, on 1-D (batch) or 2-D
+(host x batch, DCN x ICI) meshes."""
 
 from scptoolbox_tpu.parallel.batch import (BatchResult, make_mesh,
-                                           scenario_sweep, shard_batch,
+                                           make_mesh_2d, scenario_sweep,
+                                           shard_batch,
                                            solve_batched_sharded)
 from scptoolbox_tpu.parallel.collective import (CollectiveResult,
                                                 solve_batched_collective)
 
-__all__ = ["BatchResult", "make_mesh", "scenario_sweep", "shard_batch",
-           "solve_batched_sharded", "CollectiveResult",
+__all__ = ["BatchResult", "make_mesh", "make_mesh_2d", "scenario_sweep",
+           "shard_batch", "solve_batched_sharded", "CollectiveResult",
            "solve_batched_collective"]

@@ -33,6 +33,23 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(n_hosts: int, n_per_host: Optional[int] = None,
+                 axes: Sequence[str] = ("host", "batch")) -> Mesh:
+    """2D (host x batch) device mesh — the multi-host layout: the OUTER
+    axis maps across hosts (collectives over it ride DCN on a real pod)
+    and the INNER axis across each host's chips (ICI). On a single
+    process, rows of jax.devices() stand in for hosts; on a real multi-
+    host slice, jax.devices() is already globally ordered host-major, so
+    the same reshape puts each host's chips in one row."""
+    devs = jax.devices()
+    if n_per_host is None:
+        assert len(devs) % n_hosts == 0, (len(devs), n_hosts)
+        n_per_host = len(devs) // n_hosts
+    grid = np.asarray(devs[: n_hosts * n_per_host]).reshape(
+        n_hosts, n_per_host)
+    return Mesh(grid, tuple(axes))
+
+
 def shard_batch(tree, mesh: Mesh, axis: str = "batch"):
     """Place every leaf's leading (scenario) axis over the mesh."""
     sharding = NamedSharding(mesh, P(axis))

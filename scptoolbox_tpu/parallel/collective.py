@@ -62,6 +62,11 @@ def solve_batched_collective(solver, bx, bu, bp, n_iters: int,
     iterations for easy batches, not just inner IPM trips."""
     if mesh is None:
         mesh = make_mesh(axis=axis)
+    # shard scenarios over ALL mesh axes: on a 2-D (host x batch) mesh
+    # (make_mesh_2d) the convergence-vote psum then reduces over ICI
+    # within each host AND DCN across hosts in one collective
+    axis = (tuple(mesh.axis_names) if len(mesh.axis_names) > 1
+            else mesh.axis_names[0])
     pars = solver.pars
     consts = solver.consts
     B = bx.shape[0]

@@ -92,6 +92,7 @@ class GuSTOParameters:
     q_exit: float = math.inf
     ipm_tol: float = 1e-8
     ipm_max_iter: int = 60
+    ipm_tol_almost: float = 1e-5  # ALMOST_OPTIMAL gate (f32: loosen)
     project_guess: bool = True
     tr_buffer: float = 1e-3
     c_buffer: float = 1e-3
@@ -455,6 +456,7 @@ class GuSTO:
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, lam, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         max_iter=pars.ipm_max_iter,
+                        tol_almost=self.pars.ipm_tol_almost,
                         enabled=active,
                         **ipm_kkt_kwargs(self.pars.kkt_method,
                                          self._kkt_builder))
@@ -527,6 +529,7 @@ class GuSTO:
                    jax.jit(lambda A, b, c: ipm.solve(
                        A, b, c, self.spec, tol=self.pars.ipm_tol,
                        max_iter=self.pars.ipm_max_iter,
+                       tol_almost=self.pars.ipm_tol_almost,
                        **ipm_kkt_kwargs(self.pars.kkt_method,
                                         self._kkt_builder))),
                    jax.jit(self._post_solve))

@@ -67,6 +67,7 @@ class PTRParameters:
     q_exit: float = math.inf    # exit-criterion deviation norm
     ipm_tol: float = 1e-8
     ipm_max_iter: int = 60
+    ipm_tol_almost: float = 1e-5  # ALMOST_OPTIMAL gate (f32: loosen)
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
     kkt_method: object = None   # None=default Schur; "lu" = full augmented
                                 # LU (f32-robust: no normal-equations
@@ -251,6 +252,7 @@ class PTR:
     def _solve_sub(self, A, b, c, active=None):
         from scptoolbox_tpu.solvers.structure import ipm_kkt_kwargs
         return ipm.solve(A, b, c, self.spec, tol=self.pars.ipm_tol,
+                         tol_almost=self.pars.ipm_tol_almost,
                          max_iter=self.pars.ipm_max_iter, enabled=active,
                          **ipm_kkt_kwargs(self.pars.kkt_method,
                                           self._kkt_builder))

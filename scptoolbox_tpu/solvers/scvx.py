@@ -80,6 +80,7 @@ class SCvxParameters:
     q_exit: float = math.inf
     ipm_tol: float = 1e-8
     ipm_max_iter: int = 60
+    ipm_tol_almost: float = 1e-5  # ALMOST_OPTIMAL gate (f32: loosen)
     project_guess: bool = True
     structured_kkt: object = None  # None=auto, True/False force (block_kkt)
     kkt_method: object = None   # None=default Schur; "lu" = full augmented
@@ -307,6 +308,7 @@ class SCvx:
             consts = self.consts
         A, b, c, const = self._assemble(ref_x, ref_u, ref_p, dltv, eta, consts)
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
+                        tol_almost=pars.ipm_tol_almost,
                         max_iter=pars.ipm_max_iter, enabled=active,
                         **ipm_kkt_kwargs(self.pars.kkt_method,
                                          self._kkt_builder))
@@ -352,6 +354,7 @@ class SCvx:
             fns = (jax.jit(lambda *a: self._assemble(*a)),
                    jax.jit(lambda A, b, c: ipm.solve(
                        A, b, c, self.spec, tol=self.pars.ipm_tol,
+                       tol_almost=self.pars.ipm_tol_almost,
                        max_iter=self.pars.ipm_max_iter,
                        **ipm_kkt_kwargs(self.pars.kkt_method,
                                         self._kkt_builder))),

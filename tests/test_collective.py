@@ -42,3 +42,35 @@ def test_collective_vote_matches_vmapped():
         np.asarray(out["J_aug"]), rel=1e-8)
     assert np.asarray(res.iters).tolist() == np.asarray(
         out["iters"]).tolist()
+
+
+def test_collective_2d_host_batch_mesh():
+    """2-D (host x batch) mesh: the convergence-vote psum reduces over
+    BOTH axes (DCN across hosts + ICI within a host on real hardware) and
+    matches the 1-D result (VERDICT r2 #6: multi-host collective
+    machinery, simulated as 2 hosts x 4 chips on the virtual mesh)."""
+    from scptoolbox_tpu.parallel import make_mesh_2d
+
+    pbm = double_integrator(DoubleIntegratorParameters(drag=True, g=0.01,
+                                                       s=30.0))
+    pars = ptr.PTRParameters(N=21, Nsub=10, wvc=1e3, wtr=5e-3)
+    solver = ptr.PTR(pbm, pars)
+    gx, gu, gp = solver._guess
+    B = 8
+    scale = (1.0 + 0.1 * (jnp.arange(B) / B - 0.5))[:, None, None]
+    bx = gx[None] * scale
+    bu = jnp.broadcast_to(gu, (B, *gu.shape))
+    bp = jnp.broadcast_to(gp, (B, *gp.shape))
+
+    mesh2 = make_mesh_2d(n_hosts=2, n_per_host=4)
+    assert mesh2.axis_names == ("host", "batch")
+    res2 = solve_batched_collective(solver, bx, bu, bp, 10, mesh=mesh2)
+    res1 = solve_batched_collective(solver, bx, bu, bp, 10,
+                                    mesh=make_mesh(8))
+    assert int(res2.n_feasible) == B
+    assert np.all(np.asarray(res2.status) == int(SCPStatus.SOLVED))
+    # the psum over ("host", "batch") must agree with the 1-D vote
+    assert int(res2.outer_iters) == int(res1.outer_iters)
+    assert int(res2.total_iters) == int(res1.total_iters)
+    assert np.asarray(res2.J_aug) == pytest.approx(
+        np.asarray(res1.J_aug), rel=1e-8)
