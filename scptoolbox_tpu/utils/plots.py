@@ -38,6 +38,30 @@ def _plt():
     return plt
 
 
+def generate_colormap(colors: Sequence[str] = (DARK, BLUE, GREEN, YELLOW),
+                      name: str = "scp", n: int = 256):
+    """Linear colormap through the brand colors (reference
+    generate_colormap, plots.jl:658-700)."""
+    from matplotlib.colors import LinearSegmentedColormap
+
+    return LinearSegmentedColormap.from_list(name, list(colors), N=n)
+
+
+def rgb2pyplot(rgb, alpha: float = 1.0):
+    """(r, g, b) in 0..255 -> matplotlib rgba tuple (reference rgb/rgb2pyplot
+    color helpers, plots.jl:700-760)."""
+    r, g, b = rgb
+    return (r / 255.0, g / 255.0, b / 255.0, alpha)
+
+
+def darken(color: str, fraction: float):
+    """Darken a named/hex color by `fraction` in [0, 1] (reference
+    darken_color, scene_3d.jl shading helper)."""
+    from matplotlib.colors import to_rgb
+
+    return tuple((1.0 - fraction) * v for v in to_rgb(color))
+
+
 def setup_axis(ax, *, xlabel: str = "", ylabel: str = "",
                title: str = "", grid: bool = True, axis_equal: bool = False):
     """Shared axis cosmetics (reference setup_axis!, plots.jl:537-641)."""

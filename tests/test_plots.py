@@ -59,3 +59,44 @@ def test_trajectory_2d(tmp_path):
     fig = plots.plot_trajectory_2d(sol, obstacles=obs, prisms=rooms,
                                    path=str(tmp_path / "traj.png"))
     assert (tmp_path / "traj.png").exists()
+
+
+def _fake_sol(nx, nu, N=12, seed=1):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, N)
+    xd = np.cumsum(rng.normal(size=(N, nx)) * 0.2, axis=0)
+    return SCPSolution(
+        status=SCPStatus.SOLVED, algorithm="ptr", iterations=4,
+        xd=xd, ud=rng.normal(size=(N, nu)), p=np.asarray([1.0]),
+        cost=1.0, t_grid=t, feas=True, history=[],
+        t_cont=np.linspace(0, 1, 4 * N),
+        x_cont=np.repeat(xd, 4, axis=0)[: 4 * N])
+
+
+def test_example_plot_suites(tmp_path):
+    """Per-example plot suites (reference test/examples/*/plots.jl) render
+    against synthetic solutions of each problem's state/input shape."""
+    import jax.numpy as jnp
+
+    from scptoolbox_tpu.utils import example_plots as ep
+
+    px = str(tmp_path / "p")
+    ep.plot_double_integrator(_fake_sol(2, 1), prefix=px)
+    ep.plot_rocket_landing(_fake_sol(7, 3), prefix=px)
+    ep.plot_oscillator(_fake_sol(2, 1), prefix=px)
+    obs = [Ellipsoid(jnp.eye(3), jnp.asarray([1.0, 1.0, 0.0]))]
+    ep.plot_quadrotor(_fake_sol(6, 4), obs, prefix=px)
+    rooms = [Hyperrectangle.from_ranges((-1, 1), (-1, 1), (-1, 1))]
+    ep.plot_freeflyer(_fake_sol(13, 6), rooms, obs, prefix=px)
+    ep.plot_starship(_fake_sol(8, 3), prefix=px)
+    ep.plot_rendezvous(_fake_sol(6, 12), prefix=px, name="rdv")
+
+    made = sorted(p.name for p in tmp_path.iterdir())
+    for want in ("p_double_integrator.png", "p_rocket_landing.png",
+                 "p_oscillator.png", "p_quadrotor_traj.png",
+                 "p_quadrotor_inputs.png", "p_freeflyer_traj.png",
+                 "p_freeflyer_qnorm.png", "p_freeflyer_3d.png",
+                 "p_starship_traj.png", "p_starship_inputs.png",
+                 "p_rdv_approach.png", "p_rdv_impulses.png"):
+        assert want in made, (want, made)
+        assert (tmp_path / want).stat().st_size > 1000
