@@ -497,67 +497,132 @@ class PTR:
         count follows the max over ACTIVE scenarios. Returns the final
         outputs per scenario plus per-scenario `status` (SCPStatus codes),
         `iters`, and per-iteration traces."""
-        fn = self.__dict__.get("_solve_batched_fn")
-        if fn is None:
-            # per-instance jit: a static `self` hashes by id and a GC-reused
-            # id can alias a dead instance's trace
-            fn = jax.jit(self._solve_batched_impl,
-                         static_argnames=("n_iters",))
-            self.__dict__["_solve_batched_fn"] = fn
-        return fn(bx, bu, bp, self.consts, n_iters=n_iters)
+        return self._solve_batched_impl(bx, bu, bp, self.consts, n_iters)
 
     def _solve_batched_impl(self, bx, bu, bp, consts, n_iters):
         B = bx.shape[0]
         pars = self.pars
-        bdltv = jax.vmap(
-            lambda xx, uu, pp: self._discretize(xx, uu, pp, consts)
-        )(bx, bu, bp)
-        bJ = jnp.full((B,), jnp.inf, self.dtype)
-        done0 = jnp.zeros(B, bool)
-        stat0 = jnp.full(B, int(SCPStatus.FAILED), jnp.int32)
-        itr0 = jnp.zeros(B, jnp.int32)
-        ipmst0 = jnp.full(B, int(ipm.IPMStatus.MAX_ITER), jnp.int32)
+        # ONE jitted body re-dispatched from a host loop — NOT a
+        # lax.scan over iterations: scanning the full vmapped step
+        # produces an XLA program large enough to kill the TPU compile
+        # at starship size (measured: every sub-op and the single
+        # vmapped step run fine at B=8; the scan-of-steps program
+        # dies with an UNAVAILABLE device error). The loop carry stays
+        # on device; the host reads one bool per iteration.
+        body = self.__dict__.get("_solve_batched_body")
+        if body is None:
+            def _body(carry, it, consts):
+                x, u, p, dltv, J, done, status, iters, ipmst = carry
+                B = x.shape[0]   # from the traced carry, not the closure
+                out = jax.vmap(
+                    lambda xx, uu, pp, dd, JJ, act: self._step_impl(
+                        xx, uu, pp, dd, JJ, consts, active=act)
+                )(x, u, p, dltv, J, ~done)
+                finite = jnp.isfinite(out["J_aug"])
+                # serial stopping criterion per scenario (ptr.jl:908-932)
+                stop = ((it > 0) & out["feas"]
+                        & ((jnp.abs(out["improv_rel"]) <= pars.eps_rel)
+                           | (out["deviation"] <= pars.eps_abs)))
+                newly_done = ~done & (stop | ~finite)
+                adv = ~done & finite      # scenarios that accept this step
+                sel = lambda a, b: jnp.where(
+                    adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
+                x_n = sel(out["x"], x)
+                u_n = sel(out["u"], u)
+                p_n = sel(out["p"], p)
+                dltv_n = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(
+                        adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
+                    out["dltv"], dltv)
+                J_n = jnp.where(adv, out["J_aug"], J)
+                status_n = jnp.where(
+                    newly_done,
+                    jnp.where(stop & finite, int(SCPStatus.SOLVED),
+                              int(SCPStatus.FAILED)).astype(jnp.int32),
+                    status)
+                ipmst_n = jnp.where(adv, out["ipm_status"], ipmst)
+                iters_n = jnp.where(~done, it + 1, iters).astype(jnp.int32)
+                trace = dict(feas=out["feas"], deviation=out["deviation"],
+                             improv_rel=out["improv_rel"],
+                             J_aug=out["J_aug"], active=~done)
+                done_n = done | newly_done
+                return ((x_n, u_n, p_n, dltv_n, J_n, done_n,
+                         status_n, iters_n, ipmst_n), trace,
+                        jnp.all(done_n))
 
-        def body(carry, it):
+            body = (_body, jax.jit(_body))
+            self.__dict__["_solve_batched_body"] = body
+
+        body_raw, body_jit = body
+
+        def _init_carry(bx, bu, bp, consts):
+            Bc = bx.shape[0]   # from the traced args, not the closure
+            bdltv = jax.vmap(
+                lambda xx, uu, pp: self._discretize(xx, uu, pp, consts)
+            )(bx, bu, bp)
+            return (bx, bu, bp, bdltv,
+                    jnp.full((Bc,), jnp.inf, self.dtype),
+                    jnp.zeros(Bc, bool),
+                    jnp.full(Bc, int(SCPStatus.FAILED), jnp.int32),
+                    jnp.zeros(Bc, jnp.int32),
+                    jnp.full(Bc, int(ipm.IPMStatus.MAX_ITER), jnp.int32))
+
+        if self.tmpl.m * self.tmpl.n <= 1_000_000:
+            # small subproblems: ONE device-resident program containing
+            # the initial discretize AND the iteration scan, with the raw
+            # (un-nested-jit) body — each host dispatch over the axon
+            # tunnel costs ~0.3 s, a standalone discretize dispatch ~2 s,
+            # and a nested jitted body compiles as a separate call; any
+            # of the three split forms halves the DI bench (measured
+            # 51 -> ~28 solves/s)
+            scan_fn = self.__dict__.get("_solve_batched_scan")
+            if scan_fn is None:
+                def _scan(bx, bu, bp, consts, n_iters):
+                    carry = _init_carry(bx, bu, bp, consts)
+
+                    def sbody(c, it):
+                        c2, trace, _ = body_raw(c, it, consts)
+                        return c2, trace
+
+                    return jax.lax.scan(sbody, carry,
+                                        jnp.arange(n_iters))
+
+                scan_fn = jax.jit(_scan, static_argnames=("n_iters",))
+                self.__dict__["_solve_batched_scan"] = scan_fn
+            carry, traces = scan_fn(bx, bu, bp, consts, n_iters)
             x, u, p, dltv, J, done, status, iters, ipmst = carry
-            out = jax.vmap(
-                lambda xx, uu, pp, dd, JJ, act: self._step_impl(
-                    xx, uu, pp, dd, JJ, consts, active=act)
-            )(x, u, p, dltv, J, ~done)
-            finite = jnp.isfinite(out["J_aug"])
-            # serial stopping criterion per scenario (ptr.jl:908-932)
-            stop = ((it > 0) & out["feas"]
-                    & ((jnp.abs(out["improv_rel"]) <= pars.eps_rel)
-                       | (out["deviation"] <= pars.eps_abs)))
-            newly_done = ~done & (stop | ~finite)
-            adv = ~done & finite          # scenarios that accept this step
-            sel = lambda a, b: jnp.where(
-                adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
-            x_n = sel(out["x"], x)
-            u_n = sel(out["u"], u)
-            p_n = sel(out["p"], p)
-            dltv_n = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(
-                    adv.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
-                out["dltv"], dltv)
-            J_n = jnp.where(adv, out["J_aug"], J)
-            status_n = jnp.where(
-                newly_done,
-                jnp.where(stop & finite, int(SCPStatus.SOLVED),
-                          int(SCPStatus.FAILED)).astype(jnp.int32),
-                status)
-            ipmst_n = jnp.where(adv, out["ipm_status"], ipmst)
-            iters_n = jnp.where(~done, it + 1, iters).astype(jnp.int32)
-            trace = dict(feas=out["feas"], deviation=out["deviation"],
-                         improv_rel=out["improv_rel"], J_aug=out["J_aug"],
-                         active=~done)
-            return ((x_n, u_n, p_n, dltv_n, J_n, done | newly_done,
-                     status_n, iters_n, ipmst_n), trace)
-
-        (x, u, p, dltv, J, done, status, iters, ipmst), traces = (
-            jax.lax.scan(
-                body, (bx, bu, bp, bdltv, bJ, done0, stat0, itr0, ipmst0),
-                jnp.arange(n_iters)))
+        else:
+            # large subproblems (starship-class): the scan-of-steps XLA
+            # program is big enough to kill the TPU compile (UNAVAILABLE
+            # device error — measured round 4: every sub-op and the
+            # single vmapped step run fine; only the scan dies). Host
+            # loop with SPARSE early-stop checks: steps dispatch
+            # asynchronously and the PREVIOUS step's all-done scalar is
+            # fetched every `check_every` steps (each host read costs a
+            # tunnel round trip). Converged scenarios are frozen by the
+            # masking, so speculative steps are no-ops for them.
+            check_every = 4
+            init_fn = self.__dict__.get("_solve_batched_init")
+            if init_fn is None:
+                init_fn = jax.jit(_init_carry)
+                self.__dict__["_solve_batched_init"] = init_fn
+            carry = init_fn(bx, bu, bp, consts)
+            trace_list = []
+            prev = None                   # (carry, all_done) of step i-1
+            for it in range(n_iters):
+                new_carry, trace, all_done = body_jit(
+                    carry, jnp.asarray(it, jnp.int32), consts)
+                trace_list.append(trace)
+                if (prev is not None and it % check_every == 0
+                        and bool(prev[1])):
+                    carry = prev[0]       # all done BEFORE this step
+                    trace_list.pop()
+                    break
+                prev = (new_carry, all_done)
+                carry = new_carry
+            x, u, p, dltv, J, done, status, iters, ipmst = carry
+            traces = jax.tree_util.tree_map(
+                lambda *ts: jnp.stack(ts), *trace_list)
         # iter_max exhaustion with a clean final subproblem is SOLVED
         # (serial semantics, scp.jl:196-245)
         ipm_ok = ((ipmst == int(ipm.IPMStatus.OPTIMAL))

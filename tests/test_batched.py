@@ -35,8 +35,15 @@ def test_ptr_batched_status_and_early_stop():
     assert np.all(iters < n_iters), iters
     # frozen scenarios stop consuming IPM iterations: after all scenarios
     # are done the remaining scan steps show no active lanes
-    active = np.asarray(out["traces"]["active"])  # (n_iters, B)
-    assert not active[-1].any()
+    active = np.asarray(out["traces"]["active"])  # (<=n_iters, B)
+    if active.shape[0] == n_iters:
+        # device-resident scan path (small subproblems): the budget runs
+        # on device but converged scenarios show no active lanes
+        assert not active[-1].any()
+    else:
+        # host-loop path (large subproblems): the loop breaks once every
+        # scenario is done, so the trace is SHORTER than the budget
+        assert active.shape[0] >= int(iters.max())
 
     # serial cross-check on the unperturbed scenario
     serial = solver.solve()
