@@ -25,6 +25,9 @@ from scptoolbox_tpu.utils.smooth import (
     Homotopy,
 )
 from scptoolbox_tpu.utils.search import golden
+from scptoolbox_tpu.utils.tree import TreeNode, find_common
+from scptoolbox_tpu.utils.checkpoint import (load_solution, load_state,
+                                             save_solution, save_state)
 from scptoolbox_tpu.utils.linsys import c2d_zoh, c2d_foh
 from scptoolbox_tpu.utils.trajectory import ContinuousTimeTrajectory, sample
 
@@ -51,6 +54,12 @@ __all__ = [
     "smooth_or",
     "Homotopy",
     "golden",
+    "TreeNode",
+    "find_common",
+    "load_solution",
+    "load_state",
+    "save_solution",
+    "save_state",
     "c2d_zoh",
     "c2d_foh",
     "ContinuousTimeTrajectory",
