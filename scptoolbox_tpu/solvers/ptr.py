@@ -484,11 +484,13 @@ class PTR:
     # ------------------------------------------------------------------
 
     def solve_batched(self, bx, bu, bp, n_iters: int):
-        """Batched PTR with per-scenario early stop: `lax.scan` over
-        iterations of the vmapped step — ONE device program solving a whole
-        scenario batch (the "batched SCP solves" north star; the
-        reference's trials loop, quadrotor tests.jl:160-202, re-solves
-        serially).
+        """Batched PTR with per-scenario early stop, solving a whole
+        scenario batch through the vmapped step (the "batched SCP solves"
+        north star; the reference's trials loop, quadrotor
+        tests.jl:160-202, re-solves serially). Iteration dispatch is
+        hybrid — one fused device-resident scan for small subproblems, a
+        host loop over one jitted body for large ones (see
+        _solve_batched_impl for the measured rationale).
 
         bx (B,N,nx), bu (B,N,nu), bp (B,np). Each scenario applies the
         serial stopping criterion (ptr.jl:908-932); converged/diverged
@@ -502,13 +504,6 @@ class PTR:
     def _solve_batched_impl(self, bx, bu, bp, consts, n_iters):
         B = bx.shape[0]
         pars = self.pars
-        # ONE jitted body re-dispatched from a host loop — NOT a
-        # lax.scan over iterations: scanning the full vmapped step
-        # produces an XLA program large enough to kill the TPU compile
-        # at starship size (measured: every sub-op and the single
-        # vmapped step run fine at B=8; the scan-of-steps program
-        # dies with an UNAVAILABLE device error). The loop carry stays
-        # on device; the host reads one bool per iteration.
         body = self.__dict__.get("_solve_batched_body")
         if body is None:
             def _body(carry, it, consts):
