@@ -202,6 +202,17 @@ class StagedLU:
     def _build_blocks(self, A, W):
         """Gather the stage super-blocks (T, O, V) and the border block
         D_g of the augmented system under the stage permutation."""
+        dt = self.A.dtype
+        u, d = _flat_w2_vectors(self.spec, W, self.m, dt, self.cone_mask)
+        reg_x = jnp.full(self.n, self.reg_eps, dt)
+        reg_z = jnp.full(self.m, self.reg_eps, dt)
+        return self._build_blocks_core(A, u, d, reg_x, reg_z)
+
+    def _build_blocks_core(self, A, u, d, reg_x_vec, reg_z_vec):
+        """Core block assembly from the flat (u, d) W^2 representation and
+        per-index diagonal regularization vectors (reg_x_vec (n,) for the
+        x-x block, reg_z_vec (m,) added to the cone block) — the vector
+        form lets StagedCR apply a symmetric Jacobi equilibration."""
         st = self.st
         dt = self.A.dtype
         N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
@@ -219,7 +230,6 @@ class StagedLU:
             Gg = jnp.zeros((N, rmax, 0), dt)
 
         # per-stage dense W^2 blocks from the flat (u, d) representation
-        u, d = _flat_w2_vectors(self.spec, W, self.m, dt, self.cone_mask)
         up = jnp.pad(u, (0, 1))
         dp = jnp.pad(d, (0, 1))
         ur = up[rows]                                       # (N, rmax)
@@ -231,8 +241,12 @@ class StagedLU:
                  + jax.vmap(jnp.diag)(dr))
 
         # diagonal stage super-blocks T_k (s, s)
-        reg_x = jnp.where(jnp.asarray(st.col_pad), 1.0, self.reg_eps)
-        reg_z = jnp.where(jnp.asarray(st.row_pad), 1.0, self.reg_eps)
+        reg_x = jnp.where(jnp.asarray(st.col_pad),
+                          jnp.ones((), dt),
+                          jnp.pad(reg_x_vec, (0, 1))[jnp.asarray(st.scols)])
+        reg_z = jnp.where(jnp.asarray(st.row_pad),
+                          jnp.ones((), dt),
+                          jnp.pad(reg_z_vec, (0, 1))[rows])
         T = jnp.zeros((N, s, s), dt)
         T = T.at[:, :ns, :ns].set(jax.vmap(jnp.diag)(
             jnp.asarray(reg_x, dt)))
@@ -254,7 +268,9 @@ class StagedLU:
         # border block D_g (nb, nb): [[eps*I, Ag'], [Ag, -(W2_g + eps*I)]]
         if nb:
             D_g = jnp.zeros((nb, nb), dt)
-            D_g = D_g.at[jnp.arange(ng), jnp.arange(ng)].set(self.reg_eps)
+            D_g = D_g.at[jnp.arange(ng), jnp.arange(ng)].set(
+                reg_x_vec[jnp.asarray(st.g_cols)] if ng
+                else jnp.zeros(0, dt))
             if mg:
                 grows = jnp.asarray(st.global_rows)
                 Ag = (A[grows[:, None], jnp.asarray(st.g_cols)[None, :]]
@@ -268,7 +284,7 @@ class StagedLU:
                     D_g = D_g.at[:ng, ng:].set(Ag.T)
                     D_g = D_g.at[ng:, :ng].set(Ag)
                 D_g = D_g.at[ng:, ng:].set(
-                    -(W2g + self.reg_eps * jnp.eye(mg, dtype=dt)))
+                    -(W2g + jnp.diag(reg_z_vec[grows])))
         else:
             D_g = jnp.zeros((0, 0), dt)
         return T, O, V, D_g
@@ -571,6 +587,269 @@ class StagedQR(StagedLU):
         return self._scatter_sol(x, x_g, vec)
 
 
+class StagedCR(StagedLU):
+    """Parallel-in-time (cyclic reduction) variant of the stage sweep.
+
+    StagedLU/StagedQR factor and solve with `lax.scan`s over the N stages:
+    O(N) *sequential* small-block steps, which on TPU makes the whole
+    batched Starship workload latency-bound (measured round 4: 0.053
+    solves/s at B=8 -> 0.056 at B=32 — zero batch scaling, BASELINE.md).
+    Cyclic reduction is the odd/even (2-way nested-dissection) block
+    elimination of the same symmetric block-tridiagonal system
+
+        K[k,k] = T_k,  K[k,k+1] = O_k,  K[k+1,k] = O_k',
+
+    halving the stage count per level: eliminating every odd stage j via
+    x_j = T_j^-1 (t_j - O_{j-1}' x_{j-1} - O_j x_{j+1}) yields, on the
+    even stages i = 2a,
+
+        D'_a = D_2a - O_{2a-1}' D_{2a-1}^-1 O_{2a-1} - O_2a D_{2a+1}^-1 O_2a',
+        O'_a = -O_2a D_{2a+1}^-1 O_{2a+1},
+        t'_a = t_2a - O_{2a-1}' D_{2a-1}^-1 t_{2a-1} - O_2a D_{2a+1}^-1 t_{2a+1},
+
+    so factor and solve run in ceil(log2 N) *levels*, each level one
+    batched LU / batched matmul over the M/2 odd blocks (and the scenario
+    batch under vmap) — O(log N) sequential phases of MXU-shaped work
+    instead of O(N) scan steps. Same total flop class as the sweep (~2x
+    the constant). Because the odd/even permutation is symmetric, every
+    reduced D' is a Schur complement of the (regularized) quasidefinite
+    system, hence quasidefinite and the per-block LUs stay well-defined
+    without cross-stage pivoting. The arrow border is handled by the same
+    dense Schur complement as StagedQR.
+
+    f32 accuracy (measured on the starship subproblems): unlike the
+    sequentially-pivoted sweeps, block CR has genuine element growth —
+    the reduced diagonals reach ~1e7 magnitude and condition 1e12 at the
+    deep levels under late-IPM NT scalings, so the factor has a few BAD
+    directions along which Richardson refinement does not contract (the
+    IPM stalled at ~1e-3 dual residual with any number of guarded
+    refinement rounds). Two devices recover certification:
+      1. a symmetric Jacobi (Ruiz) equilibration of the augmented system
+         per factorization (`jacobi_rounds`), bounding the level growth;
+      2. the CR factor is used as a RIGHT PRECONDITIONER inside FGMRES(k)
+         rather than a direct solve (`gmres_iters`): a Krylov method
+         handles a preconditioner with a handful of bad directions as a
+         handful of outlier Ritz values — measured f32: the starship
+         subproblem IPM reaches OPTIMAL at gap 2e-9 with k=6 where plain
+         refinement never passed 1e-3.
+
+    The reference has no analog (ECOS refactors a sparse LDL of the whole
+    KKT per IPM iteration, reference src/parser/program.jl:419-424); this
+    is the TPU-native answer to SURVEY.md §5's "long-context"/time-axis
+    row."""
+
+    # NT-scaled dual variables (cone block = -I), as StagedQR: removes the
+    # W^2 spread from the stage pivots (measured necessary for f32).
+    scale_rows = True
+
+    # FGMRES(k) around the CR-factored solve; the plain factored solve is
+    # kept as a guard fallback (best residual wins per RHS column)
+    gmres_iters = 8
+
+    # symmetric Ruiz/Jacobi equilibration rounds of the augmented system
+    # K = [[eps I, A'],[A, -W2]] before the reduction: block CR (unlike
+    # the sequentially-pivoted sweep) amplifies through its level
+    # recursion U' = -U D^-1 U when the system is badly row/column scaled,
+    # and the NT row scaling W^-1 A undoes the one-time Ruiz pass ipm.solve
+    # applied to the raw A. K~ = S K S keeps symmetry, quasidefiniteness
+    # and the (u, d) + diagonal-reg block form; the outer guarded
+    # refinement still runs against the UNscaled operator, so the scaling
+    # is purely an internal conditioning device.
+    jacobi_rounds = 3
+
+    def _jacobi(self, A_eff, u, d):
+        """(s_x, s_z): per-column/row scalings equalizing the inf-norms of
+        K~ = S K S, computed implicitly (no K formed)."""
+        dt = A_eff.dtype
+        absA = jnp.abs(A_eff)
+        w2diag = jnp.abs(d) + u * u       # inf-norm proxy of the W^2 rows
+        s_x = jnp.ones(self.n, dt)
+        s_z = jnp.ones(self.m, dt)
+        for _ in range(self.jacobi_rounds):
+            rnx = jnp.maximum(self.reg_eps * s_x * s_x,
+                              jnp.max(absA * s_z[:, None], axis=0) * s_x)
+            rnz = jnp.maximum(w2diag * s_z * s_z,
+                              jnp.max(absA * s_x[None, :], axis=1) * s_z)
+            s_x = s_x / jnp.sqrt(jnp.where(rnx > 0, rnx, 1.0))
+            s_z = s_z / jnp.sqrt(jnp.where(rnz > 0, rnz, 1.0))
+        return s_x, s_z
+
+    def factor(self, W):
+        st = self.st
+        dt = self.A.dtype
+        N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
+        s = ns + rmax
+        nb = ng + mg
+        A_eff, W_eff = self._effective_system(W)
+        u, d = _flat_w2_vectors(self.spec, W_eff, self.m, dt,
+                                self.cone_mask)
+        s_x, s_z = self._jacobi(A_eff, u, d)
+        A_b = s_z[:, None] * A_eff * s_x[None, :]
+        T, O, V, D_g = self._build_blocks_core(
+            A_b, u * s_z, d * s_z * s_z,
+            self.reg_eps * s_x * s_x, self.reg_eps * s_z * s_z)
+        s_full = jnp.concatenate([s_x, s_z])
+
+        # pad the stage count to a power of two with decoupled identity
+        # blocks (O already ends in a structural zero at stage N-1)
+        Npad = 1 << max(N - 1, 0).bit_length() if N > 1 else 1
+        self._Npad = Npad
+        if Npad > N:
+            D = jnp.concatenate(
+                [T, jnp.broadcast_to(jnp.eye(s, dtype=dt),
+                                     (Npad - N, s, s))], axis=0)
+            U = jnp.concatenate([O, jnp.zeros((Npad - N, s, s), dt)], 0)
+        else:
+            D, U = T, O
+
+        levels = []
+        M = Npad
+        while M > 1:
+            D_odd = D[1::2]                                  # (M/2, s, s)
+            U_even = U[0::2]                                 # O_{2a}
+            U_odd = U[1::2]                                  # O_{2a+1}
+            lu = jax.vmap(jax.scipy.linalg.lu_factor)(D_odd)
+            PQ = jax.vmap(jax.scipy.linalg.lu_solve)(
+                lu, jnp.concatenate(
+                    [jnp.swapaxes(U_even, 1, 2), U_odd], axis=2))
+            P = PQ[:, :, :s]                 # D_odd^-1 O_{2a}'
+            Q = PQ[:, :, s:]                 # D_odd^-1 O_{2a+1}
+            Sterm = jnp.einsum("aji,ajk->aik", U_odd, Q)
+            left = jnp.concatenate(
+                [jnp.zeros((1, s, s), dt), Sterm[:-1]], axis=0)
+            D = D[0::2] - left - jnp.einsum("aij,ajk->aik", U_even, P)
+            U = -jnp.einsum("aij,ajk->aik", U_even, Q)
+            levels.append((lu, P, Q, U_even, U_odd))
+            M //= 2
+        lu_root = jax.scipy.linalg.lu_factor(D[0])
+
+        if nb:
+            Vp = (jnp.concatenate(
+                [V, jnp.zeros((Npad - N, s, nb), dt)], axis=0)
+                if Npad > N else V)
+            Y = self._cr_solve(levels, lu_root, Vp)[:N]      # (N, s, nb)
+            S = D_g - jnp.einsum("ksb,ksc->bc", V, Y)
+            lu_S = jax.scipy.linalg.lu_factor(S)
+        else:
+            Y = jnp.zeros((N, s, 0), dt)
+            lu_S = (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32))
+        return (tuple(levels), lu_root, Y, lu_S, s_full, V,
+                A_eff, W_eff, W)
+
+    def _cr_solve(self, levels, lu_root, t):
+        """Solve the block-tridiagonal interior Kb x = t for stage-blocked
+        t (Npad, s, K) through the stored reduction levels."""
+        s = t.shape[1]
+        dt = t.dtype
+        ys = []
+        for (lu, P, Q, U_even, U_odd) in levels:
+            y = jax.vmap(jax.scipy.linalg.lu_solve)(lu, t[1::2])
+            z = jnp.einsum("aji,ajK->aiK", U_odd, y)
+            left = jnp.concatenate(
+                [jnp.zeros((1,) + z.shape[1:], dt), z[:-1]], axis=0)
+            t = t[0::2] - left - jnp.einsum("aij,ajK->aiK", U_even, y)
+            ys.append(y)
+        x = jax.scipy.linalg.lu_solve(lu_root, t[0])[None]   # (1, s, K)
+        for (lu, P, Q, U_even, U_odd), y in zip(reversed(levels),
+                                                reversed(ys)):
+            x_next = jnp.concatenate(
+                [x[1:], jnp.zeros((1,) + x.shape[1:], dt)], axis=0)
+            x_odd = (y - jnp.einsum("aij,ajK->aiK", P, x)
+                     - jnp.einsum("aij,ajK->aiK", Q, x_next))
+            M2 = x.shape[0]
+            x = jnp.stack([x, x_odd], axis=1).reshape(
+                2 * M2, s, x.shape[-1])
+        return x
+
+    def _solve_once(self, fac, rhs):
+        levels, lu_root, Y, lu_S, s_full, V, A_eff, W_eff, W = fac
+        st = self.st
+        N = st.N
+        nb = st.ng + st.mg
+        # K x = r  <=>  (S K S)(S^-1 x) = S r: scale in, solve K~, scale out
+        rhs = (rhs * s_full if rhs.ndim == 1
+               else rhs * s_full[:, None])
+        t, t_g, vec = self._gather_rhs(rhs)
+        dt = t.dtype
+        Npad = self._Npad
+        tp = (jnp.concatenate(
+            [t, jnp.zeros((Npad - N,) + t.shape[1:], dt)], axis=0)
+            if Npad > N else t)
+        yb = self._cr_solve(levels, lu_root, tp)[:N]
+        if nb:
+            x_g = jax.scipy.linalg.lu_solve(
+                lu_S, t_g - jnp.einsum("ksb,ksK->bK", V, yb))
+            x = yb - jnp.einsum("ksb,bK->ksK", Y, x_g)
+        else:
+            x_g = t_g
+            x = yb
+        sol = self._scatter_sol(x, x_g, vec)
+        return (sol * s_full if sol.ndim == 1
+                else sol * s_full[:, None])
+
+    def solve(self, fac, rhs):
+        """FGMRES(gmres_iters) on the unregularized NT-scaled operator,
+        right-preconditioned by the CR factor, with a plain factored solve
+        as guard (per-column best residual wins). Replaces the base
+        class's Richardson refinement — see the class docstring for the
+        measured f32 rationale."""
+        A_eff, W_eff, W = fac[-3], fac[-2], fac[-1]
+        n = self.n
+        rhs = self._pre_rhs(W, rhs)
+
+        def w2z1(z):
+            if W_eff is None:
+                return z * self.cone_mask
+            return cn.scale(self.spec, W_eff,
+                            cn.scale(self.spec, W_eff, z)) * self.cone_mask
+
+        def matvec(v):
+            return jnp.concatenate(
+                [A_eff.T @ v[n:], A_eff @ v[:n] - w2z1(v[n:])], axis=0)
+
+        k = self.gmres_iters
+
+        def fgmres_single(b):
+            dt = b.dtype
+            beta = jnp.linalg.norm(b)
+            bsafe = jnp.where(beta > 0, beta, 1.0)
+            V = [b / bsafe]
+            Z = []
+            H = jnp.zeros((k + 1, k), dt)
+            for j in range(k):
+                z = self._solve_once(fac, V[j])
+                Z.append(z)
+                w = matvec(z)
+                for i in range(j + 1):       # modified Gram-Schmidt
+                    hij = jnp.dot(V[i], w)
+                    w = w - hij * V[i]
+                    H = H.at[i, j].set(hij)
+                hn = jnp.linalg.norm(w)
+                H = H.at[j + 1, j].set(hn)
+                V.append(w / jnp.where(hn > 0, hn, 1.0))
+            # small (k+1, k) least squares via reduced QR
+            Qh, Rh = jnp.linalg.qr(H)
+            e1 = jnp.zeros(k + 1, dt).at[0].set(beta)
+            y = jax.scipy.linalg.solve_triangular(
+                Rh, Qh.T @ e1, lower=False)
+            return sum(y[j] * Z[j] for j in range(k))
+
+        vec = rhs.ndim == 1
+        sol = (fgmres_single(rhs) if vec
+               else jax.vmap(fgmres_single, in_axes=1, out_axes=1)(rhs))
+        plain = self._solve_once(fac, rhs)
+
+        def residual(s_):
+            return rhs - (matvec(s_) if vec
+                          else jax.vmap(matvec, in_axes=1, out_axes=1)(s_))
+
+        rn = lambda r: (jnp.linalg.norm(r) if vec
+                        else jnp.linalg.norm(r, axis=0))
+        pick_g = rn(residual(sol)) < rn(residual(plain))
+        best = jnp.where(pick_g if vec else pick_g[None, :], sol, plain)
+        return self._post_sol(W, best)
+
+
 def probe_aug_structure(layout, N: int, spec: ConeSpec, assemble_fn,
                         global_blocks=()) -> Optional[AugStageStructure]:
     """Build the AugStageStructure from a probe assembly (union of three
@@ -604,5 +883,20 @@ def make_staged_qr_builder(structure: AugStageStructure):
 
     def build(spec, A, reg_eps, cone_mask):
         return StagedQR(spec, A, reg_eps, cone_mask, structure)
+
+    return build
+
+
+def make_staged_cr_builder(structure: AugStageStructure,
+                           gmres_iters: Optional[int] = None):
+    """Adapter for ops.ipm.solve(kkt_builder=...): the cyclic-reduction
+    (parallel-in-time) factorization — O(log N) sequential phases,
+    FGMRES-wrapped for f32 certification."""
+
+    def build(spec, A, reg_eps, cone_mask):
+        kkt = StagedCR(spec, A, reg_eps, cone_mask, structure)
+        if gmres_iters is not None:
+            kkt.gmres_iters = gmres_iters
+        return kkt
 
     return build

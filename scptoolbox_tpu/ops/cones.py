@@ -480,7 +480,9 @@ def exp_violation(vb) -> jnp.ndarray:
     for y > 0, z > 0; the true boundary face of cl(K_exp) beyond the
     interior chart is {y = 0, x <= 0, z >= 0}, measured only when y <= 0 —
     for y > 0 with z <= 0 the point is NOT in the cone (y e^{x/y} > 0 >= z)
-    and the violation max(-z, y) keeps the measure continuous there."""
+    and the violation max(-z, y) keeps the measure strictly positive off
+    the cone (the sign fix; the measure itself still jumps downward at
+    z = 0 since the interior residual diverges as z -> 0+)."""
     x, y, z = vb[..., 0], vb[..., 1], vb[..., 2]
     ypos = y > 0.0
     zpos = z > 0.0

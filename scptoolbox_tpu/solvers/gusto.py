@@ -17,9 +17,10 @@ Algorithmic parity (gusto.jl):
   * soft one-sided trust region: ||dx_hat_k||_q + ||dp_hat||_q <= eta + tr_k
     with tr_k quad-penalized (trust_region_cost, gusto.jl:1060-1190; q=4
     squares via SOC+GEOM);
-  * convex state sets X are enforced HARD here (the reference's `force_hard`
-    mode, problem.jl:686-807; the indicator-variable soft mode is a
-    capability gap tracked for a later round);
+  * convex state sets X are soft-enforced through per-cone indicator
+    variables by default (define_conic_constraint!, problem.jl:686-807),
+    with `force_hard` switching them to hard rows — see the soft-X
+    indicator setup in the constructor below;
   * rho = (|J_aug - L_aug| + dyn_error) / (|L_aug| + dynamics_nrml) with
     dyn_error = trapz ||f_nl - f_lin|| at the solution (gusto.jl:1245-1293);
   * update rule gusto.jl:1310-1427: trust-region violation -> reject + grow
@@ -223,7 +224,7 @@ class GuSTO:
                 jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
                 consts)
 
-        if pars.kkt_method in ("staged_lu", "staged_qr"):
+        if pars.kkt_method in ("staged_lu", "staged_qr", "staged_cr"):
             self._kkt_builder = build_staged_builder(
                 tmpl, _probe, variant=pars.kkt_method.split("_")[1])
         else:

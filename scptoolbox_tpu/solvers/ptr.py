@@ -185,7 +185,7 @@ class PTR:
             return _asm_probe(r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv,
                               consts)
 
-        if pars.kkt_method in ("staged_lu", "staged_qr"):
+        if pars.kkt_method in ("staged_lu", "staged_qr", "staged_cr"):
             # stage-structured AUGMENTED sweep (f32-robust, batchable);
             # requested explicitly via kkt_method, built here and passed
             # down as a kkt_builder (dense-LU fallback when probing fails)
@@ -616,8 +616,17 @@ class PTR:
                 prev = (new_carry, all_done)
                 carry = new_carry
             x, u, p, dltv, J, done, status, iters, ipmst = carry
-            traces = jax.tree_util.tree_map(
-                lambda *ts: jnp.stack(ts), *trace_list)
+            if trace_list:
+                traces = jax.tree_util.tree_map(
+                    lambda *ts: jnp.stack(ts), *trace_list)
+            else:
+                # n_iters=0: zero-length traces, agreeing with the scan
+                # branch's empty-scan output
+                tshape = jax.eval_shape(
+                    lambda c: body_raw(c, jnp.asarray(0, jnp.int32),
+                                       consts)[1], carry)
+                traces = jax.tree_util.tree_map(
+                    lambda sd: jnp.zeros((0,) + sd.shape, sd.dtype), tshape)
         # iter_max exhaustion with a clean final subproblem is SOLVED
         # (serial semantics, scp.jl:196-245)
         ipm_ok = ((ipmst == int(ipm.IPMStatus.OPTIMAL))

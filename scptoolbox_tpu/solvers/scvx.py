@@ -164,7 +164,7 @@ class SCvx:
                 jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
                 consts)
 
-        if pars.kkt_method in ("staged_lu", "staged_qr"):
+        if pars.kkt_method in ("staged_lu", "staged_qr", "staged_cr"):
             self._kkt_builder = build_staged_builder(
                 tmpl, _probe, variant=pars.kkt_method.split("_")[1])
         else:

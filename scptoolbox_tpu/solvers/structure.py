@@ -13,7 +13,8 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from scptoolbox_tpu.ops.aug_kkt import (make_staged_lu_builder,
+from scptoolbox_tpu.ops.aug_kkt import (make_staged_cr_builder,
+                                        make_staged_lu_builder,
                                         make_staged_qr_builder,
                                         probe_aug_structure)
 from scptoolbox_tpu.ops.block_kkt import make_kkt_builder, probe_structure
@@ -26,7 +27,7 @@ def ipm_kkt_kwargs(kkt_method, kkt_builder) -> dict:
     (falling back to the dense augmented LU when probing failed — same
     f32-robust algebra, unstructured); any other explicit kkt_method string
     overrides the builder."""
-    if kkt_method in ("staged_lu", "staged_qr"):
+    if kkt_method in ("staged_lu", "staged_qr", "staged_cr"):
         if kkt_builder is not None:
             return dict(kkt_builder=kkt_builder, kkt_method=None)
         return dict(kkt_builder=None, kkt_method="lu")
@@ -75,12 +76,15 @@ def build_staged_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
     """Probe the stage structure and return a kkt_builder for the AUGMENTED
     stage-structured factorization (ops/aug_kkt.py) — the f32-robust
     path (see aug_kkt module docstring for the measured rationale).
-    variant="qr" (square-root band sweep, backward-stable — the TPU
-    default) or "lu" (per-stage LU Schur chain, cheaper but loses digits
-    at extreme scalings). Returns None when the template does not fit the
-    stage pattern or has exp cones (dense fallback)."""
+    variant="qr" (square-root band sweep, backward-stable),
+    "cr" (cyclic reduction: O(log N) sequential phases, the
+    parallel-in-time path that batches — the TPU throughput choice) or
+    "lu" (per-stage LU Schur chain, cheapest but loses digits at extreme
+    scalings). Returns None when the template does not fit the stage
+    pattern or has exp cones (dense fallback)."""
     st = probe_aug_structure(tmpl.layout, tmpl.N, tmpl.spec, assemble)
     if st is None:
         return None
-    return (make_staged_qr_builder(st) if variant == "qr"
-            else make_staged_lu_builder(st))
+    return {"qr": make_staged_qr_builder,
+            "cr": make_staged_cr_builder,
+            "lu": make_staged_lu_builder}[variant](st)

@@ -29,8 +29,17 @@ from scptoolbox_tpu.solvers.solution import IterationRecord, SCPSolution
 _META_KEY = "__meta_json__"
 
 
+def _norm_path(path) -> str:
+    """np.savez silently appends '.npz' to extension-less paths; normalize
+    in BOTH save and load so save_state('ckpt')/load_state('ckpt')
+    round-trips."""
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: Dict[str, Any]) -> None:
     """Save a flat dict of arrays / scalars / strings to `path` (.npz)."""
+    path = _norm_path(path)
     arrays = {}
     meta = {}
     for k, v in state.items():
@@ -46,7 +55,7 @@ def save_state(path: str, state: Dict[str, Any]) -> None:
 def load_state(path: str) -> Dict[str, Any]:
     """Inverse of save_state."""
     out: Dict[str, Any] = {}
-    with np.load(path, allow_pickle=False) as data:
+    with np.load(_norm_path(path), allow_pickle=False) as data:
         for k in data.files:
             if k == _META_KEY:
                 out.update(json.loads(bytes(data[k]).decode()))
@@ -57,7 +66,12 @@ def load_state(path: str) -> Dict[str, Any]:
 
 def save_solution(path: str, sol: SCPSolution) -> None:
     """Serialize an SCPSolution (including per-iteration history) so a
-    later process can `solver.solve(warm=load_solution(path))`."""
+    later process can `solver.solve(warm=load_solution(path))`.
+
+    Not persisted (by design — they may hold arbitrary Python objects,
+    and this format is pickle-free): `SCPSolution.extras` and each
+    IterationRecord's `extras`/`timing` dicts. Loaded records get empty
+    dicts there."""
     state: Dict[str, Any] = {
         "status": int(sol.status),
         "algorithm": sol.algorithm,

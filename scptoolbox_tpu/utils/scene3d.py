@@ -268,9 +268,12 @@ def frustum(left: float, right: float, bottom: float, top: float,
     P = np.zeros((4, 4))
     P[0, 0] = 2 * near / (right - left)
     P[1, 1] = 2 * near / (top - bottom)
+    # off-center terms multiply z (standard OpenGL frustum column 2), so
+    # asymmetric frusta shear correctly; perspective() only ever builds
+    # the symmetric case where these vanish
+    P[0, 2] = (right + left) / (right - left)
+    P[1, 2] = (top + bottom) / (top - bottom)
     P[2, 2] = -(far + near) / (far - near)
-    P[0, 3] = -near * (right + left) / (right - left)
-    P[1, 3] = -near * (top + bottom) / (top - bottom)
     P[2, 3] = 2 * near * far / (near - far)
     P[3, 2] = -1.0
     return P
@@ -419,10 +422,13 @@ class Scene3D:
 
             Fv = mesh.F[:, :3]
             tri = ndc[Fv]                                 # (m, 3, 3)
-            # clip: drop faces with any NDC coordinate outside [-1, 1] on
-            # all three vertices (reference scene_3d.jl:1376-1381)
-            outside = (tri > 1.0) | (tri < -1.0)          # (m, 3v, 3c)
-            keep = ~np.any(np.all(outside, axis=1), axis=1)
+            # clip: drop faces entirely beyond ONE frustum plane — all
+            # three vertices past the same side (reference
+            # scene_3d.jl:1376-1381). Testing the two sides together
+            # would wrongly cull faces/segments spanning the viewport
+            # with vertices on opposite sides.
+            keep = ~np.any(np.all(tri > 1.0, axis=1)
+                           | np.all(tri < -1.0, axis=1), axis=1)
             # drop faces behind the camera: in front of the lens means
             # camera-frame z < 0, i.e. clip w = -z_cam > 0
             keep &= np.all(w[Fv[:, :], 0] > 0.0, axis=1)

@@ -76,9 +76,9 @@ def test_w2_flat_vectors_match_dense(subproblem):
     np.testing.assert_allclose(W2_flat, W2_ref, rtol=1e-10, atol=1e-12)
 
 
-@pytest.mark.parametrize("variant", ["lu", "qr"])
+@pytest.mark.parametrize("variant", ["lu", "qr", "cr"])
 def test_staged_matches_dense_lu_solve(subproblem, variant):
-    from scptoolbox_tpu.ops.aug_kkt import StagedLU, StagedQR
+    from scptoolbox_tpu.ops.aug_kkt import StagedCR, StagedLU, StagedQR
 
     S, A, b, c = subproblem
     spec = S.spec
@@ -87,7 +87,7 @@ def test_staged_matches_dense_lu_solve(subproblem, variant):
     reg = jnp.asarray(1e-10, A.dtype)
 
     dense = ipm._LUKKT(spec, A, reg, cone_mask)
-    cls = StagedLU if variant == "lu" else StagedQR
+    cls = {"lu": StagedLU, "qr": StagedQR, "cr": StagedCR}[variant]
     structure = S._kkt_builder(spec, A, reg, cone_mask).st
     staged = cls(spec, A, reg, cone_mask, structure)
 
@@ -123,7 +123,7 @@ def test_ipm_staged_matches_dense(subproblem):
                                rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("method", ["staged_lu", "staged_qr"])
+@pytest.mark.parametrize("method", ["staged_lu", "staged_qr", "staged_cr"])
 def test_ptr_staged_end_to_end(method):
     """Full PTR solve with the staged KKT variants matches the default."""
     from scptoolbox_tpu.config import SCPStatus
