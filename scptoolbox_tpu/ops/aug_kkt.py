@@ -62,7 +62,6 @@ class AugStageStructure:
 
     def __init__(self, layout, N: int, spec: ConeSpec,
                  A_probe: np.ndarray, global_blocks=()):
-        assert spec.nexp == 0, "exp cones: dense KKT required"
         self.N = int(N)
         n = layout.n
         self.n = n
@@ -91,12 +90,16 @@ class AugStageStructure:
             [scols[1:], np.full((1, self.ns), n, np.int64)], axis=0)
         self.col_pad = (scols == n)
 
-        # ---- row units: zero rows and nonneg rows singly, SOC blocks whole
+        # ---- row units: zero rows and nonneg rows singly, SOC and EXP
+        # blocks whole (cone units never straddle stages)
         units = [np.asarray([i]) for i in range(spec.nz + spec.nl)]
         off = spec.nz + spec.nl
         for d in spec.socs:
             units.append(np.arange(off, off + d))
             off += d
+        for _ in range(spec.nexp):
+            units.append(np.arange(off, off + 3))
+            off += 3
         assert off == m, (off, m)
 
         stage_rows = [[] for _ in range(N)]
@@ -143,9 +146,16 @@ class AugStageStructure:
 
 def _flat_w2_vectors(spec: ConeSpec, W, m: int, dtype, cone_mask):
     """Flat (u, d) with W^2 = u u' (within cone blocks) + diag(d); zero on
-    zero-cone rows. W=None (init solve) gives W^2 = diag(cone_mask)."""
+    zero-cone rows. W=None (init solve) gives W^2 = diag(cone_mask).
+
+    Exp blocks have dense 3x3 W^2 (BFGS scaling) not representable as
+    rank-1 + diag: only the NT-SCALED sweeps (scale_rows=True, where the
+    whole cone block collapses to -I and this is called with W=None)
+    support exp cones — StagedQR/StagedCR do, raw StagedLU does not."""
     if W is None:
         return jnp.zeros(m, dtype), jnp.asarray(cone_mask, dtype)
+    assert spec.nexp == 0, (
+        "exp cones require the NT-scaled sweep (StagedQR/StagedCR)")
     u = jnp.zeros(m, dtype)
     d = jnp.zeros(m, dtype)
     if spec.nl > 0:
@@ -850,14 +860,212 @@ class StagedCR(StagedLU):
         return self._post_sol(W, best)
 
 
+class StagedCRQD(StagedCR):
+    """Cyclic reduction with quasidefinite 2-Cholesky block algebra — the
+    TPU throughput variant of StagedCR.
+
+    StagedCR factors the odd diagonal blocks with `vmap(lu_factor)`;
+    XLA's batched LU on TPU is a sequential column loop with per-column
+    pivot gathers, and it dominated the batched starship IPM iteration
+    (measured: time grew ~linearly in the scenario batch B, ~0.3% MXU
+    utilization). This variant exploits the invariant block structure of
+    the reduction: in the NT-scaled system every level's blocks keep the
+    symmetric quasidefinite form
+
+        D = [[X, B'], [B, -Z]],   U = [[0, 0], [C, 0]],
+
+    with X (ns x ns) and Z (rmax x rmax) SPD — the level updates hit only
+    X (x-x corner, via the left neighbor), Z (z-z corner, via the right
+    neighbor) and C, while B never changes. Each block inverse is then
+    two batched CHOLESKYs (Z and the SPD Schur S = X + B'Z^-1 B) plus
+    matmuls — the decompositions XLA lowers in blocked (MXU-shaped) form
+    — and the inverse actions are materialized as explicit (s x s) block
+    inverses so every CR solve phase is one batched matmul per level.
+
+    Explicit inverses and the normal-equations-like S lose f32 digits on
+    ill-scaled blocks, so this backend is tuned as a PRECONDITIONER for
+    the FGMRES wrapper (which both CR variants already use): the zero-row
+    diagonal (regularization-only, ~1e-7 after Jacobi scaling) is floored
+    at `pc_floor` so S stays f32-Cholesky-factorable, trading
+    preconditioner exactness for conditioning — FGMRES absorbs the
+    difference as a few extra Krylov iterations."""
+
+    # preconditioner floor on the z-z diagonal: zero rows carry only the
+    # static regularization (~1e-10/1e-7 after Jacobi scaling), and the
+    # explicit-inverse assembly izz = Z^-1 B S^-1 B' Z^-1 - Z^-1 cancels
+    # catastrophically when Z^-1 ~ 1/reg (measured: ||D Minv - I|| ~ 1e3
+    # at floor=reg even in f64). 1/floor enters cond(S) and the
+    # cancellation scale, so the floor trades preconditioner exactness
+    # for a well-conditioned factorization; FGMRES absorbs the gap.
+    pc_floor_f32 = 1e-4
+    pc_floor_f64 = 1e-6
+
+    @staticmethod
+    def _spd_inverse(M):
+        """Batched SPD inverse via diagonally-normalized Cholesky: the
+        blocks here carry ~1/pc_floor row scaling (zero-row elimination),
+        and a raw f32 Cholesky at condition ~1e8 NaNs on TPU; Jacobi
+        normalization M^ = D^-1/2 M D^-1/2 removes the diagonal spread
+        (near-optimal among diagonal scalings for SPD matrices)."""
+        dt = M.dtype
+        n = M.shape[-1]
+        ar = jnp.arange(n)
+        dg = M[..., ar, ar]
+        sc = jnp.where(dg > 0, 1.0 / jnp.sqrt(jnp.abs(dg) + 1e-30), 1.0)
+        Mh = M * sc[..., :, None] * sc[..., None, :]
+        eps_rel = 100.0 * jnp.finfo(dt).eps
+        Mh = Mh.at[..., ar, ar].add(eps_rel * jnp.abs(Mh[..., ar, ar]))
+        L = jnp.linalg.cholesky(Mh)
+        inv_h = jax.scipy.linalg.cho_solve(
+            (L, True), jnp.broadcast_to(jnp.eye(n, dtype=dt),
+                                        M.shape[:-2] + (n, n)))
+        return inv_h * sc[..., :, None] * sc[..., None, :]
+
+    def _qd_inverse(self, X, B, Z):
+        """Explicit inverse of [[X, B'],[B, -Z]] (batched) via Z- and
+        Schur-SPD inverses:
+        (D^-1)_xx = S^-1, (D^-1)_xz = S^-1 B' Z^-1,
+        (D^-1)_zz = Z^-1 B S^-1 B' Z^-1 - Z^-1,  S = X + B' Z^-1 B."""
+        Zinv = self._spd_inverse(Z)
+        ZiB = Zinv @ B
+        S = X + jnp.swapaxes(B, -1, -2) @ ZiB
+        Sinv = self._spd_inverse(S)
+        ixz = Sinv @ jnp.swapaxes(ZiB, -1, -2)      # S^-1 B' Z^-1
+        izx = jnp.swapaxes(ixz, -1, -2)
+        izz = ZiB @ ixz - Zinv
+        Minv = jnp.concatenate(
+            [jnp.concatenate([Sinv, ixz], axis=-1),
+             jnp.concatenate([izx, izz], axis=-1)], axis=-2)
+        return Minv
+
+    def factor(self, W):
+        st = self.st
+        dt = self.A.dtype
+        N, ns, rmax, ng, mg = st.N, st.ns, st.rmax, st.ng, st.mg
+        s = ns + rmax
+        nb = ng + mg
+        A_eff, W_eff = self._effective_system(W)
+        assert W_eff is None, "StagedCRQD requires the NT-scaled system"
+        u, d = _flat_w2_vectors(self.spec, None, self.m, dt,
+                                self.cone_mask)
+        s_x, s_z = self._jacobi(A_eff, u, d)
+        A_b = s_z[:, None] * A_eff * s_x[None, :]
+        T, O, V, D_g = self._build_blocks_core(
+            A_b, u * s_z, d * s_z * s_z,
+            self.reg_eps * s_x * s_x, self.reg_eps * s_z * s_z)
+        s_full = jnp.concatenate([s_x, s_z])
+
+        # canonical quasidefinite pieces + preconditioner floor
+        floor = jnp.asarray(
+            self.pc_floor_f64 if dt == jnp.float64 else self.pc_floor_f32,
+            dt)
+        X = T[:, :ns, :ns]
+        Bb = T[:, ns:, :ns]
+        Z = -T[:, ns:, ns:]
+        ar = jnp.arange(rmax)
+        Z = Z.at[:, ar, ar].set(jnp.maximum(Z[:, ar, ar], floor))
+        Cc = O[:, ns:, :ns]
+
+        Npad = 1 << max(N - 1, 0).bit_length() if N > 1 else 1
+        self._Npad = Npad
+        if Npad > N:
+            pad = Npad - N
+            X = jnp.concatenate(
+                [X, jnp.broadcast_to(jnp.eye(ns, dtype=dt),
+                                     (pad, ns, ns))], 0)
+            Z = jnp.concatenate(
+                [Z, jnp.broadcast_to(jnp.eye(rmax, dtype=dt),
+                                     (pad, rmax, rmax))], 0)
+            Bb = jnp.concatenate([Bb, jnp.zeros((pad, rmax, ns), dt)], 0)
+            Cc = jnp.concatenate([Cc, jnp.zeros((pad, rmax, ns), dt)], 0)
+
+        levels = []
+        M = Npad
+        while M > 1:
+            X_o, Z_o, B_o = X[1::2], Z[1::2], Bb[1::2]
+            C_o = Cc[1::2]
+            C_e = Cc[0::2]
+            Minv = self._qd_inverse(X_o, B_o, Z_o)
+            # (D^-1) applied to the structured couplings:
+            #   Q = D^-1 [0; C_o] -> (a_Q, b_Q);  P = D^-1 [C_e'; 0]
+            a_Q = Minv[:, :ns, ns:] @ C_o
+            b_Q = Minv[:, ns:, ns:] @ C_o
+            a_P = Minv[:, :ns, :ns] @ jnp.swapaxes(C_e, 1, 2)
+            b_P = Minv[:, ns:, :ns] @ jnp.swapaxes(C_e, 1, 2)
+            levels.append((Minv, a_Q, b_Q, a_P, b_P, C_e, C_o))
+            term = jnp.einsum("aki,akj->aij", C_o, b_Q)
+            left = jnp.concatenate(
+                [jnp.zeros((1, ns, ns), dt), term[:-1]], axis=0)
+            X = X[0::2] - left
+            Z = Z[0::2] + C_e @ a_P
+            Cc = -C_e @ a_Q
+            Bb = Bb[0::2]
+            M //= 2
+        root_inv = self._qd_inverse(X[0], Bb[0], Z[0])
+
+        if nb:
+            Vp = (jnp.concatenate(
+                [V, jnp.zeros((Npad - N, s, nb), dt)], axis=0)
+                if Npad > N else V)
+            Y = self._cr_solve(levels, root_inv, Vp)[:N]
+            S = D_g - jnp.einsum("ksb,ksc->bc", V, Y)
+            lu_S = jax.scipy.linalg.lu_factor(S)
+        else:
+            Y = jnp.zeros((N, s, 0), dt)
+            lu_S = (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32))
+        return (tuple(levels), root_inv, Y, lu_S, s_full, V,
+                A_eff, W_eff, W)
+
+    def _cr_solve(self, levels, root_inv, t):
+        ns = self.st.ns
+        dt = t.dtype
+        ys = []
+        for (Minv, a_Q, b_Q, a_P, b_P, C_e, C_o) in levels:
+            y = Minv @ t[1::2]
+            lx = jnp.einsum("aki,akK->aiK", C_o, y[:, ns:])
+            rz = C_e @ y[:, :ns]
+            lx = jnp.concatenate(
+                [jnp.zeros((1,) + lx.shape[1:], dt), lx[:-1]], axis=0)
+            t = t[0::2]
+            t = t.at[:, :ns].add(-lx)
+            t = t.at[:, ns:].add(-rz)
+            ys.append(y)
+        x = (root_inv @ t[0])[None]
+        for (Minv, a_Q, b_Q, a_P, b_P, C_e, C_o), y in zip(
+                reversed(levels), reversed(ys)):
+            x_next = jnp.concatenate(
+                [x[1:], jnp.zeros((1,) + x.shape[1:], dt)], axis=0)
+            xe_z = x[:, ns:]
+            xn_x = x_next[:, :ns]
+            x_odd = y - jnp.concatenate(
+                [a_P @ xe_z + a_Q @ xn_x,
+                 b_P @ xe_z + b_Q @ xn_x], axis=1)
+            M2 = x.shape[0]
+            x = jnp.stack([x, x_odd], axis=1).reshape(
+                2 * M2, x.shape[1], x.shape[-1])
+        return x
+
+
+def make_staged_crqd_builder(structure: AugStageStructure,
+                             gmres_iters: Optional[int] = None):
+    """Adapter for ops.ipm.solve(kkt_builder=...): cyclic reduction with
+    quasidefinite 2-Cholesky blocks (the TPU throughput variant)."""
+
+    def build(spec, A, reg_eps, cone_mask):
+        kkt = StagedCRQD(spec, A, reg_eps, cone_mask, structure)
+        if gmres_iters is not None:
+            kkt.gmres_iters = gmres_iters
+        return kkt
+
+    return build
+
+
 def probe_aug_structure(layout, N: int, spec: ConeSpec, assemble_fn,
                         global_blocks=()) -> Optional[AugStageStructure]:
     """Build the AugStageStructure from a probe assembly (union of three
     random-input sparsity probes, same protocol as block_kkt). Returns None
-    when the row structure does not fit the stage pattern or the spec has
-    exp cones (dense fallback)."""
-    if spec.nexp > 0:
-        return None
+    when the row structure does not fit the stage pattern. Specs with exp
+    cones are supported by the NT-scaled sweeps (StagedQR/StagedCR)."""
     probe = np.asarray(assemble_fn(0)) != 0.0
     for seed in (1, 2):
         probe |= np.asarray(assemble_fn(seed)) != 0.0

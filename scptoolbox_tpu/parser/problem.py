@@ -64,8 +64,9 @@ def bind_consts(fn: Optional[Callable], consts) -> Optional[Callable]:
 
 class ConeKind(enum.Enum):
     """Cone tags for constraint residual blocks (reference cone.jl:48
-    `SupportedCone`; L1/LINF/GEOM are lowered at build time, EXP is handled
-    by the GuSTO softplus path only)."""
+    `SupportedCone`; L1/LINF/GEOM are lowered at build time, EXP posts
+    native 3-dim exponential-cone rows solved by the IPM's nonsymmetric
+    path, reference cone.jl:103-171 ExponentialCone)."""
 
     ZERO = "zero"      # v = 0
     NONPOS = "nonpos"  # v <= 0 elementwise
@@ -73,6 +74,7 @@ class ConeKind(enum.Enum):
     L1 = "l1"          # v[0] >= ||v[1:]||_1   (lowered: aux slacks)
     LINF = "linf"      # v[0] >= max|v[1:]|    (lowered: linear rows)
     GEOM = "geom"      # geomean(v[1:]) >= v[0] (lowered to SOC, 2-term)
+    EXP = "exp"        # (x, y, z): y > 0, y e^{x/y} <= z (native)
 
 
 class ConeCon(NamedTuple):
@@ -104,6 +106,13 @@ def linf(v) -> ConeCon:
 
 def geom(v) -> ConeCon:
     return ConeCon(ConeKind.GEOM, jnp.atleast_1d(v))
+
+
+def exp_cone(v) -> ConeCon:
+    """v = (x, y, z) in K_exp = cl{y > 0, y e^{x/y} <= z} (reference
+    @add_constraint EXP, cone.jl:48/:103-171)."""
+    v = jnp.atleast_1d(v)
+    return ConeCon(ConeKind.EXP, v)
 
 
 class BoundingBox(NamedTuple):

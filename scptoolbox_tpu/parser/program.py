@@ -297,7 +297,7 @@ class ConicProgram:
                 nm = f"{con.name}{i}"
                 if po.kind in (ConeKind.ZERO, ConeKind.NONPOS):
                     duals[nm] = sol.z[self.plan.rows(nm)]
-                elif po.kind in (ConeKind.SOC, ConeKind.GEOM):
+                elif po.kind in (ConeKind.SOC, ConeKind.GEOM, ConeKind.EXP):
                     duals[nm] = sol.z[self.plan.rows(nm)].reshape(-1)
         return ProgramSolution(values=values, obj=sol.obj + const,
                                status=sol.status, duals=duals, x=d,
@@ -402,7 +402,7 @@ class ConicProgram:
                 if po.kind in (ConeKind.ZERO, ConeKind.NONPOS):
                     duals[nm] = jnp.asarray(nsol.z[self.plan.rows(nm)],
                                             self.dtype)
-                elif po.kind in (ConeKind.SOC, ConeKind.GEOM):
+                elif po.kind in (ConeKind.SOC, ConeKind.GEOM, ConeKind.EXP):
                     duals[nm] = jnp.asarray(
                         nsol.z[self.plan.rows(nm)].reshape(-1), self.dtype)
         return ProgramSolution(

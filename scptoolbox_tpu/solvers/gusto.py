@@ -519,6 +519,7 @@ class GuSTO:
             x=x, u=u, p=p, dltv=dltv_new, L=L, L_aug=L_aug, J_aug=J_aug,
             feas=feas, deviation=deviation, defect_norm=defect_norm,
             rho=rho, tr_lhs_max=tr_lhs_max, viol=viol,
+            dyn_err=dyn_err, dyn_nrml=dyn_nrml,
             ipm_status=sol.status, ipm_iters=sol.iters)
 
     def _step_timed(self, ref_x, ref_u, ref_p, dltv, eta, lam, consts):

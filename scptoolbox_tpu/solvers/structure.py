@@ -81,7 +81,11 @@ def build_staged_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
     parallel-in-time path that batches — the TPU throughput choice) or
     "lu" (per-stage LU Schur chain, cheapest but loses digits at extreme
     scalings). Returns None when the template does not fit the stage
-    pattern or has exp cones (dense fallback)."""
+    pattern (dense fallback). Exp-cone specs are supported by the
+    NT-scaled variants (qr/cr) only — the raw LU sweep falls back to
+    dense (exp W^2 blocks are dense 3x3, not rank-1 + diag)."""
+    if tmpl.spec.nexp > 0 and variant == "lu":
+        return None
     st = probe_aug_structure(tmpl.layout, tmpl.N, tmpl.spec, assemble)
     if st is None:
         return None

@@ -146,6 +146,11 @@ class BlockPoster:
                 if aux:
                     layout.add(name + "_aux", count, aux)
                 plan.soc(name, count * len(pairs), 3)
+        elif kind == ConeKind.EXP:
+            # native 3-dim exponential cone rows (nonsymmetric IPM path,
+            # reference cone.jl:103-171 ExponentialCone)
+            assert dim == 3, f"EXP cone blocks are 3-dim, got {dim}"
+            plan.exp(name, count)
         else:
             raise NotImplementedError(f"cone kind {kind}")
 
@@ -164,6 +169,8 @@ class BlockPoster:
             asm.add_b(rows, -v0)
         elif kind == ConeKind.SOC:
             asm.res_soc(plan.rows(name), cols, J, v0)
+        elif kind == ConeKind.EXP:
+            asm.res_exp(plan.rows(name), cols, J, v0)
         elif kind == ConeKind.L1:
             aux = layout.idx(name + "_aux")  # (count, dim-1)
             d1 = dim - 1
@@ -422,6 +429,11 @@ class SCPTemplate:
                     lay.add(f"qX{i}", N)
                     posters = (BlockPoster(f"X{i}", k, d, N, lay, plan),)
                     self.n_qX += 1
+                elif k == ConeKind.EXP:
+                    # (x, y, w + q) in K_exp (reference cone.jl:313-314)
+                    lay.add(f"qX{i}", N)
+                    posters = (BlockPoster(f"X{i}", k, d, N, lay, plan),)
+                    self.n_qX += 1
                 else:
                     raise NotImplementedError(
                         f"soft state-set relaxation for cone {k}")
@@ -659,6 +671,12 @@ class SCPTemplate:
                             jnp.concatenate([Ji, eye], axis=2), v0i)
                     pb.post(asm, plan, lay, cols_q,
                             jnp.concatenate([-Ji, eye], axis=2), -v0i)
+                elif kind == ConeKind.EXP:
+                    # (x, y, w + q) in K_exp (reference cone.jl:313-314)
+                    e2 = jnp.zeros((N, d, 1), dt).at[:, 2, 0].set(1.0)
+                    self._X_posters[i][0].post(
+                        asm, plan, lay, cols_q,
+                        jnp.concatenate([Ji, e2], axis=2), v0i)
                 else:  # SOC / L1 / LINF: (t + q, x) in K
                     e0 = jnp.zeros((N, d, 1), dt).at[:, 0, 0].set(1.0)
                     self._X_posters[i][0].post(
@@ -842,6 +860,14 @@ class SCPTemplate:
                     parts.append((jnp.sum(jnp.abs(v[1:])) - v[0])[None])
                 elif c.kind == ConeKind.LINF:
                     parts.append((jnp.max(jnp.abs(v[1:])) - v[0])[None])
+                elif c.kind == ConeKind.EXP:
+                    # q = y e^{x/y} - w (reference indicator! numerical,
+                    # cone.jl:292); safe-guarded for y <= 0
+                    xw, yw, ww = v[0], v[1], v[2]
+                    ysafe = jnp.where(yw > 0, yw, 1.0)
+                    val = jnp.where(yw > 0, yw * jnp.exp(xw / ysafe) - ww,
+                                    jnp.maximum(-ww, -yw))
+                    parts.append(val[None])
                 else:
                     raise NotImplementedError(c.kind)
             return jnp.concatenate(parts)

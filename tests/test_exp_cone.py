@@ -211,3 +211,93 @@ def test_ipm_exp_mixed_soc():
     obj = float(sol.x[1] + sol.x[2])
     assert obj == pytest.approx(res.fun, rel=1e-6)
     assert float(sol.x[0]) == pytest.approx(res.x, abs=1e-4)
+
+
+def test_modeling_layer_exp_cone():
+    """EXP posted through the modeling layer (reference @add_constraint
+    EXP, cone.jl:48/:103-171): entropy-regularized linear cost over the
+    simplex. min c'x + sum_i x_i log x_i  ->  x* = softmax(-c), optimal
+    value -log(sum e^{-c_i})."""
+    from scptoolbox_tpu.parser.problem import exp_cone, zero
+    from scptoolbox_tpu.parser.program import ConicProgram
+
+    n = 4
+    c_vec = np.asarray([0.3, -0.2, 0.8, 0.0])
+    prg = ConicProgram()
+    x = prg.variable("x", n)
+    t = prg.variable("t", n)
+
+    def simplex(xv):
+        return [zero(jnp.sum(xv) - 1.0)]
+
+    def entropy(xv, tv):
+        # t_i >= x_i log x_i  <=>  (-t_i, x_i, 1) in K_exp
+        return [exp_cone(jnp.stack([-tv[i], xv[i], 1.0]))
+                for i in range(n)]
+
+    prg.add_constraint("simplex", simplex, (x,))
+    prg.add_constraint("entropy", entropy, (x, t))
+    prg.add_cost(lambda xv, tv: jnp.dot(jnp.asarray(c_vec), xv)
+                 + jnp.sum(tv), (x, t))
+    prg.build()
+    sol = prg.solve(tol=1e-9, max_iter=80)
+    assert int(sol.status) in (int(ipm.IPMStatus.OPTIMAL),
+                               int(ipm.IPMStatus.ALMOST_OPTIMAL))
+    x_star = np.exp(-c_vec) / np.sum(np.exp(-c_vec))
+    np.testing.assert_allclose(np.asarray(sol.values["x"]), x_star,
+                               atol=2e-4)
+    assert float(sol.obj) == pytest.approx(
+        -np.log(np.sum(np.exp(-c_vec))), abs=1e-5)
+
+
+def test_staged_kkt_with_exp_blocks():
+    """The stage-structured KKT (QR and CR sweeps) classifies 3-row exp
+    units and matches the dense path on a GuSTO softplus template (the
+    VERDICT r4 gap: AugStageStructure asserted nexp == 0, so softplus
+    GuSTO could never run structured)."""
+    from scptoolbox_tpu.models.quadrotor import quadrotor
+    from scptoolbox_tpu.solvers import gusto
+
+    pbm = quadrotor()
+    base = dict(N=12, Nsub=6, iter_max=3, pen="softplus", hom=500.0,
+                lam_init=1e3)
+    Sq = gusto.GuSTO(pbm, gusto.GuSTOParameters(**base,
+                                                kkt_method="staged_qr"))
+    assert Sq.spec.nexp > 0
+    assert Sq._kkt_builder is not None, "exp-bearing aug probe failed"
+
+    xg, ug, pg = Sq._guess
+    dltv = Sq._discretize(xg, ug, pg)
+    eta = jnp.asarray(1.0, Sq.dtype)
+    lam = jnp.asarray(1e3, Sq.dtype)
+    A, b, c, _ = jax.jit(lambda *a: Sq._assemble(*a))(
+        xg, ug, pg, dltv, eta, lam, Sq.consts)
+    ok = (int(ipm.IPMStatus.OPTIMAL), int(ipm.IPMStatus.ALMOST_OPTIMAL))
+    sol_dense = ipm.solve(A, b, c, Sq.spec, tol=1e-8, max_iter=80)
+    assert int(sol_dense.status) in ok
+    for method in ("staged_qr", "staged_cr"):
+        Sm = gusto.GuSTO(pbm, gusto.GuSTOParameters(**base,
+                                                    kkt_method=method))
+        sol_st = ipm.solve(A, b, c, Sm.spec, tol=1e-8, max_iter=80,
+                           kkt_builder=Sm._kkt_builder)
+        assert int(sol_st.status) in ok, method
+        assert float(sol_st.obj) == pytest.approx(float(sol_dense.obj),
+                                                  abs=1e-5), method
+
+
+def test_gusto_softplus_staged_end_to_end():
+    """Full GuSTO softplus solve with the staged CR KKT matches the dense
+    default (exp blocks through the whole SCP stack)."""
+    from scptoolbox_tpu.config import SCPStatus
+    from scptoolbox_tpu.models.quadrotor import quadrotor
+    from scptoolbox_tpu.solvers import gusto
+
+    pbm = quadrotor()
+    base = dict(N=12, Nsub=6, iter_max=10, pen="softplus", hom=500.0,
+                lam_init=1e3)
+    sol_ref = gusto.solve(quadrotor(), gusto.GuSTOParameters(**base))
+    sol_stg = gusto.solve(pbm, gusto.GuSTOParameters(
+        **base, kkt_method="staged_cr"))
+    assert sol_ref.status == SCPStatus.SOLVED
+    assert sol_stg.status == SCPStatus.SOLVED
+    assert sol_stg.cost == pytest.approx(sol_ref.cost, rel=1e-4)
