@@ -861,8 +861,20 @@ class StagedCR(StagedLU):
 
 
 class StagedCRQD(StagedCR):
-    """Cyclic reduction with quasidefinite 2-Cholesky block algebra — the
-    TPU throughput variant of StagedCR.
+    """Cyclic reduction with quasidefinite 2-Cholesky block algebra and
+    EXPLICIT block inverses — an experiment in making every CR phase a
+    batched matmul.
+
+    STATUS (measured, round 5): preconditioner-grade only — do NOT use as
+    the default TPU path. An explicit inverse of a kappa~1e8 block in f32
+    carries forward error ~eps*kappa, so the preconditioned operator sees
+    eps*kappa^2 — unbounded at the staged KKT's late-IPM conditioning; the
+    pc_floor caps kappa at the price of an O(1) spectral bias on the
+    floored rows, and measured on the f32 starship the IPM stalls at
+    ~1e-3 gap late-SCP (first subproblem: CR reaches 3.6e-6, CRQD 1.6e-3).
+    Factored triangular solves (backward-stable, error eps*kappa) are the
+    only form that certifies at this conditioning — see StagedCR. Kept for
+    the block algebra and as the measured record of why.
 
     StagedCR factors the odd diagonal blocks with `vmap(lu_factor)`;
     XLA's batched LU on TPU is a sequential column loop with per-column
@@ -891,48 +903,94 @@ class StagedCRQD(StagedCR):
     difference as a few extra Krylov iterations."""
 
     # preconditioner floor on the z-z diagonal: zero rows carry only the
-    # static regularization (~1e-10/1e-7 after Jacobi scaling), and the
-    # explicit-inverse assembly izz = Z^-1 B S^-1 B' Z^-1 - Z^-1 cancels
-    # catastrophically when Z^-1 ~ 1/reg (measured: ||D Minv - I|| ~ 1e3
-    # at floor=reg even in f64). 1/floor enters cond(S) and the
-    # cancellation scale, so the floor trades preconditioner exactness
-    # for a well-conditioned factorization; FGMRES absorbs the gap.
-    pc_floor_f32 = 1e-4
-    pc_floor_f64 = 1e-6
+    # static regularization (~1e-10/1e-7 after Jacobi scaling), and at
+    # small floors the Schur assembly S = X + Bt' Bt (Bt ~ 1/sqrt(floor))
+    # loses X below the f32 rounding of the 1/floor-scale term, leaving S
+    # numerically singular exactly where X was the regularizer (measured:
+    # FGMRES stalls near 1e0 at floor<=1e-5). A LARGE floor is fine: it
+    # biases the preconditioner on the zero rows only, and the FGMRES
+    # wrapper converges through the bias (measured f32 starship sweep:
+    # floor 3e-2 + 16 Krylov iters reaches ~1e-6 relative residual,
+    # matching the exact-LU StagedCR; 1e-4 stalls at 2e-1).
+    pc_floor_f32 = 3e-2
+    pc_floor_f64 = 3e-2
+
+    # the floored preconditioner needs a deeper Krylov space than the
+    # exact-LU CR factor (measured: 8 iters -> 5e-3, 16 -> ~1e-6)
+    gmres_iters = 16
 
     @staticmethod
-    def _spd_inverse(M):
-        """Batched SPD inverse via diagonally-normalized Cholesky: the
-        blocks here carry ~1/pc_floor row scaling (zero-row elimination),
-        and a raw f32 Cholesky at condition ~1e8 NaNs on TPU; Jacobi
-        normalization M^ = D^-1/2 M D^-1/2 removes the diagonal spread
-        (near-optimal among diagonal scalings for SPD matrices)."""
+    def _chol_inv_robust(M):
+        """Batched inverse Cholesky factor of a near-SPD M: returns Li
+        with M^-1 = Li' Li (exact up to the ridge bias below), via
+        diagonally-normalized Cholesky + a NaN-proof ridge ladder.
+
+        The reduced blocks here carry ~1/pc_floor diagonal spread
+        (zero-row elimination) plus, at the deeper reduction levels,
+        small indefinite rounding noise inherited from the levels below --
+        a plain f32 Cholesky NaNs on them (measured, starship level>=1).
+        Jacobi normalization M^ = D^-1/2 M D^-1/2 removes the diagonal
+        spread (near-optimal among diagonal scalings for SPD matrices);
+        the ladder then factors M^ + r I at the smallest
+        r in {10*sqrt(eps), 1e-3, 3e-1} whose Cholesky stays finite per
+        batch element. The ridge biases the PRECONDITIONER only -- the
+        FGMRES wrapper absorbs the bias as extra Krylov progress."""
         dt = M.dtype
         n = M.shape[-1]
         ar = jnp.arange(n)
         dg = M[..., ar, ar]
         sc = jnp.where(dg > 0, 1.0 / jnp.sqrt(jnp.abs(dg) + 1e-30), 1.0)
         Mh = M * sc[..., :, None] * sc[..., None, :]
-        eps_rel = 100.0 * jnp.finfo(dt).eps
-        Mh = Mh.at[..., ar, ar].add(eps_rel * jnp.abs(Mh[..., ar, ar]))
-        L = jnp.linalg.cholesky(Mh)
-        inv_h = jax.scipy.linalg.cho_solve(
-            (L, True), jnp.broadcast_to(jnp.eye(n, dtype=dt),
-                                        M.shape[:-2] + (n, n)))
-        return inv_h * sc[..., :, None] * sc[..., None, :]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=dt),
+                               M.shape[:-2] + (n, n))
+
+        def chol_ok(r):
+            L = jnp.linalg.cholesky(Mh + r * eye)
+            ok = jnp.all(jnp.isfinite(L), axis=(-1, -2))
+            return L, ok
+
+        base = jnp.asarray(10.0 * np.sqrt(np.finfo(
+            np.float32 if dt == jnp.float32 else np.float64).eps), dt)
+        L0, ok0 = chol_ok(base)
+        L1, ok1 = chol_ok(jnp.asarray(1e-3, dt))
+        L2, _ = chol_ok(jnp.asarray(3e-1, dt))  # diag-dominant: finite
+        L2 = jnp.where(jnp.isfinite(L2), L2, eye)  # absolute backstop
+        L = jnp.where(ok0[..., None, None], L0,
+                      jnp.where(ok1[..., None, None], L1, L2))
+        Lh_inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        # M = (D^1/2 Lh)(D^1/2 Lh)'  =>  Lm^-1 = Lh^-1 D^-1/2
+        return Lh_inv * sc[..., None, :]
 
     def _qd_inverse(self, X, B, Z):
-        """Explicit inverse of [[X, B'],[B, -Z]] (batched) via Z- and
-        Schur-SPD inverses:
-        (D^-1)_xx = S^-1, (D^-1)_xz = S^-1 B' Z^-1,
-        (D^-1)_zz = Z^-1 B S^-1 B' Z^-1 - Z^-1,  S = X + B' Z^-1 B."""
-        Zinv = self._spd_inverse(Z)
-        ZiB = Zinv @ B
-        S = X + jnp.swapaxes(B, -1, -2) @ ZiB
-        Sinv = self._spd_inverse(S)
-        ixz = Sinv @ jnp.swapaxes(ZiB, -1, -2)      # S^-1 B' Z^-1
+        """Explicit inverse of [[X, B'],[B, -Z]] (batched), in a
+        cancellation-resistant orthogonal-projector form. With
+        Lz Lz' = Z, Ls Ls' = S = X + B' Z^-1 B, Bt = Lz^-1 B,
+        U1 = Bt Ls^-T:
+
+          (D^-1)_xx = S^-1 = Ls^-T Ls^-1,
+          (D^-1)_xz = S^-1 B' Z^-1 = Ls^-T U1' Lz^-1,
+          (D^-1)_zz = Lz^-T (U1 U1' - I) Lz^-1.
+
+        U1's rows have norm <= 1 (U1 U1' = I - Ls^-1 X Ls^-T), so the
+        subtraction U1 U1' - I happens at O(1) scale and its absolute
+        rounding error is O(eps), amplified only ONCE by the Lz^-1
+        sandwich; the naive form Z^-1 B S^-1 B' Z^-1 - Z^-1 differences
+        two O(1/pc_floor)-scale terms and squares that amplification --
+        measured f32 starship: FGMRES stalls at 2e-1 relative residual
+        under the naive form vs certifying under this one (see
+        test_aug_kkt)."""
+        Lzi = self._chol_inv_robust(Z)                       # Lz^-1
+        Bt = Lzi @ B
+        S = X + jnp.swapaxes(Bt, -1, -2) @ Bt
+        Lsi = self._chol_inv_robust(S)                       # Ls^-1
+        LsiT = jnp.swapaxes(Lsi, -1, -2)
+        Sinv = LsiT @ Lsi
+        U1 = Bt @ LsiT
+        ixz = LsiT @ (jnp.swapaxes(U1, -1, -2) @ Lzi)
         izx = jnp.swapaxes(ixz, -1, -2)
-        izz = ZiB @ ixz - Zinv
+        eye_z = jnp.eye(Z.shape[-1], dtype=Z.dtype)
+        izz = (jnp.swapaxes(Lzi, -1, -2)
+               @ ((U1 @ jnp.swapaxes(U1, -1, -2)) - eye_z) @ Lzi)
         Minv = jnp.concatenate(
             [jnp.concatenate([Sinv, ixz], axis=-1),
              jnp.concatenate([izx, izz], axis=-1)], axis=-2)

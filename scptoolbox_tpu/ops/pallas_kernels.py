@@ -227,3 +227,126 @@ def cho_solve(L, B, *, interpret=None):
     """Solve (L L') X = B given the lower Cholesky factor."""
     return solve_lower_t(L, solve_lower(L, B, interpret=interpret),
                          interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# Batch-in-lanes Gauss-Jordan inverse
+# --------------------------------------------------------------------------
+#
+# Why a second factorization kernel exists (measured, TPU v5e, round 5):
+# XLA's batched decompositions on this stack are BATCH-SERIAL — timings of
+# (B, 158, 158) f32: lu_factor 16ms @ B=128 -> 63ms @ B=512 (linear in B),
+# cholesky 8 -> 29ms, qr 9 -> 34ms — while batched matmul is flat (1.4ms ->
+# 1.8ms). The cyclic-reduction staged KKT (ops/aug_kkt.py) is therefore
+# bound by its per-level small-block inverses, not by flops. This kernel
+# inverts a batch of small matrices with the BATCH in the 128-wide lane
+# dimension: each Gauss-Jordan step is a full-matrix (s, s, 128) VPU
+# update, so the sequential depth is s (not B*s) and throughput is flat in
+# the batch. The blocks it receives are Jacobi-equilibrated quasidefinite
+# stage blocks (all leading pivots exist, Vanderbei); there is no pivot
+# search — a tiny-pivot safeguard plus the caller's FGMRES wrapper
+# (aug_kkt.StagedCR.solve) covers the unpivoted growth, the same policy as
+# the unpivoted StagedLU sweep.
+
+
+def _gj_kernel(s: int, in_hbm, out_hbm, w_ref, sem_in, sem_out):
+    """In-place Jordan-exchange inversion of one (sp, sp, 128) lane-tile.
+
+    The tile lives in HBM ((T, sp, sp, 128) overall) and is DMA'd into a
+    single VMEM scratch — in/out BlockSpec staging would need two VMEM
+    copies of the tile and OOMs at sp=160 (measured); one scratch fits.
+    After step j the scratch holds the partial Jordan exchange; after all
+    sp steps, the matrix inverse (classic in-place Gauss-Jordan pivot
+    exchange, pivots taken in order on the diagonal). Each step is one
+    masked-reduction pass (column j) plus one fused read-modify-write pass
+    of the whole tile — ~3 VMEM passes per step, sequential depth sp.
+    """
+    t = pl.program_id(0)
+    dma_in = pltpu.make_async_copy(in_hbm.at[t], w_ref, sem_in)
+    dma_in.start()
+    dma_in.wait()
+
+    sp = w_ref.shape[0]
+    CH = 8                       # row-chunk height: in-place chunked writes
+    nch = sp // CH               # keep the step's temps at (CH, sp, 128) --
+    #                              a fused full-tile update would need a
+    #                              second tile-sized VMEM temp and OOM
+    mids = jax.lax.broadcasted_iota(jnp.int32, (1, sp, 1), 1)
+
+    def body(j, _):
+        rowj = w_ref[pl.ds(j, 1), :, :][0]                   # (sp, 128)
+        colj = w_ref[:, pl.ds(j, 1), :][:, 0]                # (sp, 128)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
+        piv = jnp.sum(jnp.where(riota == j, rowj, 0.0), axis=0)  # (128,)
+        # unpivoted safeguard: keep the sign, floor the magnitude
+        tiny = jnp.asarray(1e-30, rowj.dtype)
+        mag = jnp.maximum(jnp.abs(piv), tiny)
+        d = jnp.where(piv < 0, -1.0, 1.0) / mag              # 1/pivot
+        rowj_s = rowj * d[None, :]                           # (sp, 128)
+        colj_m = jnp.where(riota == j, 0.0, colj)            # zero entry j
+        # row j result: M[j,k]/p for k != j, 1/p at the pivot
+        rowfin = jnp.where(riota == j, d[None, :], rowj_s)   # (sp, 128)
+        for c in range(nch):
+            Wc = w_ref[c * CH: (c + 1) * CH, :, :]           # (CH, sp, 128)
+            rows_c = (jax.lax.broadcasted_iota(
+                jnp.int32, (CH, 1, 1), 0) + c * CH)
+            cj = colj_m[c * CH: (c + 1) * CH]                # (CH, 128)
+            new_c = Wc - cj[:, None, :] * rowj_s[None, :, :]
+            new_c = jnp.where(mids == j,
+                              -cj[:, None, :] * d[None, None, :], new_c)
+            new_c = jnp.where(rows_c == j, rowfin[None, :, :], new_c)
+            w_ref[c * CH: (c + 1) * CH, :, :] = new_c
+        return 0
+
+    jax.lax.fori_loop(0, s, body, 0, unroll=False)
+
+    dma_out = pltpu.make_async_copy(w_ref, out_hbm.at[t], sem_out)
+    dma_out.start()
+    dma_out.wait()
+
+
+def gj_inverse(M: jnp.ndarray, *, interpret: bool | None = None,
+               lane: int = LANE) -> jnp.ndarray:
+    """Batched matrix inverse, batch-flat on TPU: (..., s, s) -> (..., s, s).
+
+    Flattens the batch, pads it to a lane multiple with identity blocks,
+    transposes batch into the lane dimension, and runs one `_gj_kernel`
+    grid program per 128-wide lane tile. Sublane padding embeds the input
+    in an identity: the inverse of the padded block restricted to the
+    leading (s, s) corner is exactly the inverse of the input.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    s = M.shape[-1]
+    batch_shape = M.shape[:-2]
+    nb = 1
+    for dim in batch_shape:
+        nb *= dim
+    dt = M.dtype
+    sp = max(_round_up(s, 8), 8)
+    nbp = max(_round_up(nb, lane), lane)
+    Mf = M.reshape(nb, s, s)
+    Mp = jnp.pad(Mf, ((0, nbp - nb), (0, sp - s), (0, sp - s)))
+    if sp > s or nbp > nb:
+        eye_tail = jnp.pad(jnp.zeros((s,), dt), (0, sp - s),
+                           constant_values=1.0)
+        fix = jnp.concatenate(
+            [jnp.broadcast_to(jnp.diag(eye_tail), (nb, sp, sp)),
+             jnp.broadcast_to(jnp.eye(sp, dtype=dt), (nbp - nb, sp, sp))],
+            axis=0)
+        Mp = Mp + fix
+    T = nbp // lane
+    Mt = Mp.reshape(T, lane, sp, sp).transpose(0, 2, 3, 1)   # (T,sp,sp,128)
+    out = pl.pallas_call(
+        functools.partial(_gj_kernel, sp),
+        grid=(T,),
+        out_shape=jax.ShapeDtypeStruct((T, sp, sp, lane), dt),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((sp, sp, lane), dt),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(Mt)
+    inv = out.transpose(0, 3, 1, 2).reshape(nbp, sp, sp)[:nb, :s, :s]
+    return inv.reshape(*batch_shape, s, s)

@@ -204,7 +204,8 @@ class GuSTO:
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(nx, dtype=self.dtype)
 
-        from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
+        from scptoolbox_tpu.solvers.structure import (STAGED_METHODS,
+                                                      build_kkt_builder,
                                                       build_staged_builder,
                                                       random_dltv)
 
@@ -224,7 +225,7 @@ class GuSTO:
                 jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
                 consts)
 
-        if pars.kkt_method in ("staged_lu", "staged_qr", "staged_cr"):
+        if pars.kkt_method in STAGED_METHODS:
             self._kkt_builder = build_staged_builder(
                 tmpl, _probe, variant=pars.kkt_method.split("_")[1])
         else:

@@ -166,7 +166,8 @@ class PTR:
         self._E = jnp.eye(pbm.nx, dtype=self.dtype)  # scp.jl:149
 
         # stage-structured KKT (block-tridiagonal + arrow, ops/block_kkt)
-        from scptoolbox_tpu.solvers.structure import (build_kkt_builder,
+        from scptoolbox_tpu.solvers.structure import (STAGED_METHODS,
+                                                      build_kkt_builder,
                                                       build_staged_builder,
                                                       random_dltv)
 
@@ -185,7 +186,7 @@ class PTR:
             return _asm_probe(r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv,
                               consts)
 
-        if pars.kkt_method in ("staged_lu", "staged_qr", "staged_cr"):
+        if pars.kkt_method in STAGED_METHODS:
             # stage-structured AUGMENTED sweep (f32-robust, batchable);
             # requested explicitly via kkt_method, built here and passed
             # down as a kkt_builder (dense-LU fallback when probing fails)

@@ -14,11 +14,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from scptoolbox_tpu.ops.aug_kkt import (make_staged_cr_builder,
+                                        make_staged_crqd_builder,
                                         make_staged_lu_builder,
                                         make_staged_qr_builder,
                                         probe_aug_structure)
 from scptoolbox_tpu.ops.block_kkt import make_kkt_builder, probe_structure
 from scptoolbox_tpu.ops.discretize import DLTV
+
+# kkt_method strings that route through the stage-structured AUGMENTED
+# factorizations (ops/aug_kkt.py)
+STAGED_METHODS = ("staged_lu", "staged_qr", "staged_cr", "staged_crqd")
 
 
 def ipm_kkt_kwargs(kkt_method, kkt_builder) -> dict:
@@ -27,7 +32,7 @@ def ipm_kkt_kwargs(kkt_method, kkt_builder) -> dict:
     (falling back to the dense augmented LU when probing failed — same
     f32-robust algebra, unstructured); any other explicit kkt_method string
     overrides the builder."""
-    if kkt_method in ("staged_lu", "staged_qr", "staged_cr"):
+    if kkt_method in STAGED_METHODS:
         if kkt_builder is not None:
             return dict(kkt_builder=kkt_builder, kkt_method=None)
         return dict(kkt_builder=None, kkt_method="lu")
@@ -91,4 +96,5 @@ def build_staged_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
         return None
     return {"qr": make_staged_qr_builder,
             "cr": make_staged_cr_builder,
+            "crqd": make_staged_crqd_builder,
             "lu": make_staged_lu_builder}[variant](st)
