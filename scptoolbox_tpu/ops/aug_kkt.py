@@ -684,6 +684,25 @@ class StagedCR(StagedLU):
             s_z = s_z / jnp.sqrt(jnp.where(rnz > 0, rnz, 1.0))
         return s_x, s_z
 
+    # -- pluggable small-block LU engine ---------------------------------
+    # StagedCRPL swaps these four for the batch-in-lanes Pallas kernels
+    # (XLA's batched LU is batch-serial on TPU — see ops/pallas_kernels).
+
+    def _blk_lu(self, D):
+        return jax.vmap(jax.scipy.linalg.lu_factor)(D)
+
+    def _blk_solve(self, fac, R):
+        return jax.vmap(jax.scipy.linalg.lu_solve)(fac, R)
+
+    def _one_lu(self, M):
+        return jax.scipy.linalg.lu_factor(M)
+
+    def _one_solve(self, fac, R):
+        return jax.scipy.linalg.lu_solve(fac, R)
+
+    def _empty_one_lu(self, dt):
+        return (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32))
+
     def factor(self, W):
         st = self.st
         dt = self.A.dtype
@@ -718,8 +737,8 @@ class StagedCR(StagedLU):
             D_odd = D[1::2]                                  # (M/2, s, s)
             U_even = U[0::2]                                 # O_{2a}
             U_odd = U[1::2]                                  # O_{2a+1}
-            lu = jax.vmap(jax.scipy.linalg.lu_factor)(D_odd)
-            PQ = jax.vmap(jax.scipy.linalg.lu_solve)(
+            lu = self._blk_lu(D_odd)
+            PQ = self._blk_solve(
                 lu, jnp.concatenate(
                     [jnp.swapaxes(U_even, 1, 2), U_odd], axis=2))
             P = PQ[:, :, :s]                 # D_odd^-1 O_{2a}'
@@ -731,7 +750,7 @@ class StagedCR(StagedLU):
             U = -jnp.einsum("aij,ajk->aik", U_even, Q)
             levels.append((lu, P, Q, U_even, U_odd))
             M //= 2
-        lu_root = jax.scipy.linalg.lu_factor(D[0])
+        lu_root = self._one_lu(D[0])
 
         if nb:
             Vp = (jnp.concatenate(
@@ -739,10 +758,10 @@ class StagedCR(StagedLU):
                 if Npad > N else V)
             Y = self._cr_solve(levels, lu_root, Vp)[:N]      # (N, s, nb)
             S = D_g - jnp.einsum("ksb,ksc->bc", V, Y)
-            lu_S = jax.scipy.linalg.lu_factor(S)
+            lu_S = self._one_lu(S)
         else:
             Y = jnp.zeros((N, s, 0), dt)
-            lu_S = (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32))
+            lu_S = self._empty_one_lu(dt)
         return (tuple(levels), lu_root, Y, lu_S, s_full, V,
                 A_eff, W_eff, W)
 
@@ -753,13 +772,13 @@ class StagedCR(StagedLU):
         dt = t.dtype
         ys = []
         for (lu, P, Q, U_even, U_odd) in levels:
-            y = jax.vmap(jax.scipy.linalg.lu_solve)(lu, t[1::2])
+            y = self._blk_solve(lu, t[1::2])
             z = jnp.einsum("aji,ajK->aiK", U_odd, y)
             left = jnp.concatenate(
                 [jnp.zeros((1,) + z.shape[1:], dt), z[:-1]], axis=0)
             t = t[0::2] - left - jnp.einsum("aij,ajK->aiK", U_even, y)
             ys.append(y)
-        x = jax.scipy.linalg.lu_solve(lu_root, t[0])[None]   # (1, s, K)
+        x = self._one_solve(lu_root, t[0])[None]             # (1, s, K)
         for (lu, P, Q, U_even, U_odd), y in zip(reversed(levels),
                                                 reversed(ys)):
             x_next = jnp.concatenate(
@@ -787,7 +806,7 @@ class StagedCR(StagedLU):
             if Npad > N else t)
         yb = self._cr_solve(levels, lu_root, tp)[:N]
         if nb:
-            x_g = jax.scipy.linalg.lu_solve(
+            x_g = self._one_solve(
                 lu_S, t_g - jnp.einsum("ksb,ksK->bK", V, yb))
             x = yb - jnp.einsum("ksb,bK->ksK", Y, x_g)
         else:
@@ -858,6 +877,41 @@ class StagedCR(StagedLU):
         pick_g = rn(residual(sol)) < rn(residual(plain))
         best = jnp.where(pick_g if vec else pick_g[None, :], sol, plain)
         return self._post_sol(W, best)
+
+
+class StagedCRPL(StagedCR):
+    """StagedCR with the small-block LU engine on the batch-in-lanes
+    Pallas kernels (ops/pallas_kernels.lu_factor_lanes/lu_solve_lanes) —
+    the TPU throughput variant.
+
+    Identical algebra and numerical contract to StagedCR (unpivoted
+    equilibrated quasidefinite blocks, factored triangular substitution,
+    FGMRES wrapper with plain-solve guard); only the batched LU engine
+    changes. Measured rationale (TPU v5e, round 5): XLA's batched
+    lu_factor/lu_solve are batch-serial on this stack (16 -> 63 ms for
+    (128 -> 512, 158, 158) f32), which made the whole batched Starship
+    KKT latency-bound; the lanes kernels put the (scenario x stage-block)
+    batch in the 128-wide lane dimension so the sequential depth is s,
+    flat in the batch. Note the one numerical difference from StagedCR:
+    the per-block LU is UNPIVOTED (like StagedLU's sweep) — covered by
+    the Jacobi equilibration, the FGMRES wrap, and the guard."""
+
+    def _blk_lu(self, D):
+        from scptoolbox_tpu.ops.pallas_kernels import lu_factor_lanes
+        return lu_factor_lanes(D)
+
+    def _blk_solve(self, fac, R):
+        from scptoolbox_tpu.ops.pallas_kernels import lu_solve_lanes
+        return lu_solve_lanes(fac, R)
+
+    def _one_lu(self, M):
+        return self._blk_lu(M[None])
+
+    def _one_solve(self, fac, R):
+        return self._blk_solve(fac, R[None])[0]
+
+    def _empty_one_lu(self, dt):
+        return jnp.zeros((1, 0, 0), dt)
 
 
 class StagedCRQD(StagedCR):
@@ -1149,6 +1203,20 @@ def make_staged_qr_builder(structure: AugStageStructure):
 
     def build(spec, A, reg_eps, cone_mask):
         return StagedQR(spec, A, reg_eps, cone_mask, structure)
+
+    return build
+
+
+def make_staged_crpl_builder(structure: AugStageStructure,
+                             gmres_iters: Optional[int] = None):
+    """Adapter for ops.ipm.solve(kkt_builder=...): cyclic reduction with
+    the batch-in-lanes Pallas LU engine (the TPU throughput variant)."""
+
+    def build(spec, A, reg_eps, cone_mask):
+        kkt = StagedCRPL(spec, A, reg_eps, cone_mask, structure)
+        if gmres_iters is not None:
+            kkt.gmres_iters = gmres_iters
+        return kkt
 
     return build
 

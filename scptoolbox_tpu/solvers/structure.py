@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scptoolbox_tpu.ops.aug_kkt import (make_staged_cr_builder,
+                                        make_staged_crpl_builder,
                                         make_staged_crqd_builder,
                                         make_staged_lu_builder,
                                         make_staged_qr_builder,
@@ -23,7 +24,8 @@ from scptoolbox_tpu.ops.discretize import DLTV
 
 # kkt_method strings that route through the stage-structured AUGMENTED
 # factorizations (ops/aug_kkt.py)
-STAGED_METHODS = ("staged_lu", "staged_qr", "staged_cr", "staged_crqd")
+STAGED_METHODS = ("staged_lu", "staged_qr", "staged_cr",
+                  "staged_crpl", "staged_crqd")
 
 
 def ipm_kkt_kwargs(kkt_method, kkt_builder) -> dict:
@@ -96,5 +98,6 @@ def build_staged_builder(tmpl, assemble: Callable[[int], "jnp.ndarray"],
         return None
     return {"qr": make_staged_qr_builder,
             "cr": make_staged_cr_builder,
+            "crpl": make_staged_crpl_builder,
             "crqd": make_staged_crqd_builder,
             "lu": make_staged_lu_builder}[variant](st)

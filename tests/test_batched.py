@@ -76,3 +76,43 @@ def test_scvx_batched_matches_serial():
     etas = np.asarray(out["traces"]["eta"])[:, 0]
     serial_etas = [r.extras["eta"] for r in serial.history]
     assert etas[: len(serial_etas)] == pytest.approx(serial_etas)
+
+
+def test_gusto_batched_matches_serial():
+    """The branch-free batched lambda/eta/kappa ladder (gusto.py
+    _solve_batched_impl) reproduces the serial host update rule
+    (reference gusto.jl:1310-1427) scenario-by-scenario: identical
+    guesses must follow the serial eta/lam trace exactly and land on the
+    serial solution."""
+    from scptoolbox_tpu.solvers import gusto
+
+    mdl = QuadrotorParameters()
+    pbm = quadrotor(mdl)
+    pars = gusto.GuSTOParameters(N=30, Nsub=15, iter_max=15)
+    solver = gusto.GuSTO(pbm, pars)
+    gx, gu, gp = solver._guess
+    B = 2
+    bx = jnp.broadcast_to(gx, (B, *gx.shape))
+    bu = jnp.broadcast_to(gu, (B, *gu.shape))
+    bp = jnp.broadcast_to(gp, (B, *gp.shape))
+    out = solver.solve_batched(bx, bu, bp, pars.iter_max)
+    serial = solver.solve()
+
+    assert serial.status == SCPStatus.SOLVED
+    assert np.all(np.asarray(out["status"]) == int(SCPStatus.SOLVED))
+    assert np.all(np.asarray(out["feas"]))
+    assert np.allclose(np.asarray(out["x"][0]), np.asarray(out["x"][1]))
+    # batched and serial reduce in different op orders; agreement is to
+    # roundoff of the converged iterate, not bitwise
+    assert np.asarray(out["x"][0]) == pytest.approx(serial.xd, abs=5e-5)
+    assert float(out["J_aug"][0]) == pytest.approx(
+        serial.history[-1].J_aug, rel=1e-5)
+    assert float(out["iters"][0]) == serial.iterations
+    # the per-scenario lambda ladder and eta adaptation ran on-device and
+    # match the serial host loop's recorded path
+    active = np.asarray(out["traces"]["active"])[:, 0]
+    n_active = int(active.sum())
+    for key in ("eta", "lam"):
+        dev = np.asarray(out["traces"][key])[:n_active, 0]
+        ser = [r.extras[key] for r in serial.history]
+        assert dev == pytest.approx(ser[: len(dev)], rel=1e-5), key

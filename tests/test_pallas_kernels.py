@@ -116,3 +116,100 @@ def test_schur_kkt_with_pallas_toggled():
         pk._interpret_default = orig
     np.testing.assert_allclose(np.asarray(sol_pl), np.asarray(sol_xla),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_gj_inverse_matches_numpy():
+    from scptoolbox_tpu.ops.pallas_kernels import gj_inverse
+
+    rng = np.random.default_rng(0)
+    for (nb, s) in ((5, 17), (130, 40)):
+        M = rng.standard_normal((nb, s, s)) + 5 * np.eye(s)
+        inv = np.asarray(gj_inverse(jnp.asarray(M), interpret=True))
+        err = max(np.abs(M[i] @ inv[i] - np.eye(s)).max()
+                  for i in range(nb))
+        assert err < 1e-10, (nb, s, err)
+
+
+def test_lu_lanes_pivoted_solve():
+    """Partial pivoting must survive tiny diagonals (the staged KKT's
+    ~1e-7 regularization pivots — unpivoted elimination explodes there,
+    measured on the f32 starship blocks)."""
+    from scptoolbox_tpu.ops.pallas_kernels import (lu_factor_lanes,
+                                                   lu_solve_lanes)
+
+    rng = np.random.default_rng(0)
+    nb, s = 7, 23
+    M = rng.standard_normal((nb, s, s))
+    M[:, np.arange(s), np.arange(s)] *= 1e-7
+    fac = lu_factor_lanes(jnp.asarray(M))
+    for K in (1, 5, 21):
+        B = rng.standard_normal((nb, s, K))
+        X = np.asarray(lu_solve_lanes(fac, jnp.asarray(B)))
+        err = np.abs(np.einsum("bij,bjk->bik", M, X) - B).max()
+        assert err < 1e-9, (K, err)
+
+
+def test_lu_lanes_vmap_flattens():
+    """vmap over a leading axis must agree with the flat call (the custom
+    batch rule flattens into the lane dimension)."""
+    from scptoolbox_tpu.ops.pallas_kernels import (lu_factor_lanes,
+                                                   lu_solve_lanes)
+
+    rng = np.random.default_rng(1)
+    M = rng.standard_normal((3, 4, 12, 12)) + 4 * np.eye(12)
+    B = rng.standard_normal((3, 4, 12, 2))
+    Xf = np.asarray(lu_solve_lanes(lu_factor_lanes(jnp.asarray(M)),
+                                   jnp.asarray(B)))
+    Xv = np.asarray(jax.vmap(
+        lambda m, b: lu_solve_lanes(lu_factor_lanes(m), b))(
+            jnp.asarray(M), jnp.asarray(B)))
+    np.testing.assert_allclose(Xv, Xf, rtol=1e-12, atol=1e-12)
+    # closure-captured (unbatched) factors under vmap broadcast correctly
+    fac1 = lu_factor_lanes(jnp.asarray(M[0, 0]))
+    Xc = jax.vmap(lambda b: lu_solve_lanes(fac1, b))(jnp.asarray(B[0]))
+    ref = np.linalg.solve(M[0, 0], B[0])
+    np.testing.assert_allclose(np.asarray(Xc), ref, rtol=1e-9, atol=1e-10)
+
+
+def test_staged_crpl_matches_staged_cr():
+    """The Pallas-engine CR backend reproduces StagedCR on a real PTR
+    subproblem (double integrator, interpret mode on CPU)."""
+    from scptoolbox_tpu.models.double_integrator import double_integrator
+    from scptoolbox_tpu.ops import cones as cn, ipm
+    from scptoolbox_tpu.ops.aug_kkt import StagedCR, StagedCRPL
+    from scptoolbox_tpu.solvers import ptr
+
+    pbm = double_integrator()
+    pars = ptr.PTRParameters(N=15, Nsub=8, iter_max=3,
+                             kkt_method="staged_lu")
+    S = ptr.PTR(pbm, pars)
+    xg, ug, pg = S._guess
+    dltv = S._discretize(xg, ug, pg)
+    A, b, c, _ = jax.jit(lambda *a: S._assemble(*a))(
+        xg, ug, pg, dltv, S.consts)
+    spec = S.spec
+    rng = np.random.default_rng(0)
+    cone_mask = jnp.asarray(spec.cone_mask(), A.dtype)
+    reg = jnp.asarray(1e-10, A.dtype)
+    stt = S._kkt_builder(spec, A, reg, cone_mask).st
+    cr = StagedCR(spec, A, reg, cone_mask, stt)
+    pkl = StagedCRPL(spec, A, reg, cone_mask, stt)
+
+    def rand_int():
+        m = spec.m
+        v = np.abs(rng.standard_normal(m)) + 0.5
+        off = spec.nz + spec.nl
+        for d in spec.socs:
+            w = rng.standard_normal(d - 1) * 0.2
+            v[off] = np.linalg.norm(w) + 1.0
+            v[off + 1: off + d] = w
+            off += d
+        v[: spec.nz] = 0.0
+        return jnp.asarray(v)
+
+    W = cn.nt_scaling(spec, rand_int(), rand_int())
+    rhs = jnp.asarray(rng.standard_normal(A.shape[0] + A.shape[1]))
+    s1 = cr.solve(cr.factor(W), rhs)
+    s2 = pkl.solve(pkl.factor(W), rhs)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-6, atol=1e-7)
