@@ -720,78 +720,104 @@ class StagedCR(StagedLU):
         s_full = jnp.concatenate([s_x, s_z])
 
         # pad the stage count to a power of two with decoupled identity
-        # blocks (O already ends in a structural zero at stage N-1)
+        # blocks (O already ends in a structural zero at stage N-1).
+        # The coupling O_k = [[0, 0], [C_k, 0]] keeps its (rmax, ns)
+        # corner form through EVERY reduction level (the reduced coupling
+        # is O_e D^-1 O_o, which lands back in the corner), so the level
+        # recursion carries only C_k and the per-level solves see
+        # K = rmax + ns = s right-hand-side columns instead of 2s — this
+        # halves the dominant big-K substitution streams (measured, the
+        # factor-phase P/Q solves dominate the Pallas-engine factor).
         Npad = 1 << max(N - 1, 0).bit_length() if N > 1 else 1
         self._Npad = Npad
+        C = O[:, ns:, :ns]                                   # (N, rmax, ns)
         if Npad > N:
             D = jnp.concatenate(
                 [T, jnp.broadcast_to(jnp.eye(s, dtype=dt),
                                      (Npad - N, s, s))], axis=0)
-            U = jnp.concatenate([O, jnp.zeros((Npad - N, s, s), dt)], 0)
+            C = jnp.concatenate(
+                [C, jnp.zeros((Npad - N, rmax, ns), dt)], 0)
         else:
-            D, U = T, O
+            D = T
 
         levels = []
         M = Npad
         while M > 1:
             D_odd = D[1::2]                                  # (M/2, s, s)
-            U_even = U[0::2]                                 # O_{2a}
-            U_odd = U[1::2]                                  # O_{2a+1}
+            C_e = C[0::2]                                    # C_{2a}
+            C_o = C[1::2]                                    # C_{2a+1}
             lu = self._blk_lu(D_odd)
-            PQ = self._blk_solve(
-                lu, jnp.concatenate(
-                    [jnp.swapaxes(U_even, 1, 2), U_odd], axis=2))
-            P = PQ[:, :, :s]                 # D_odd^-1 O_{2a}'
-            Q = PQ[:, :, s:]                 # D_odd^-1 O_{2a+1}
-            Sterm = jnp.einsum("aji,ajk->aik", U_odd, Q)
+            # thin RHS: [ [[C_e'],[0]] | [[0],[C_o]] ]  (s, rmax + ns)
+            nblk = D_odd.shape[0]
+            rhs = jnp.zeros((nblk, s, s), dt)
+            rhs = rhs.at[:, :ns, :rmax].set(jnp.swapaxes(C_e, 1, 2))
+            rhs = rhs.at[:, ns:, rmax:].set(C_o)
+            PQ = self._blk_solve(lu, rhs)
+            Pc = PQ[:, :, :rmax]             # D_odd^-1 [[C_e'],[0]]
+            Qc = PQ[:, :, rmax:]             # D_odd^-1 [[0],[C_o]]
+            # O_o' Q lands in the x-x corner, O_e P in the z-z corner
+            Sxx = jnp.einsum("aki,akj->aij", C_o, Qc[:, ns:, :])
             left = jnp.concatenate(
-                [jnp.zeros((1, s, s), dt), Sterm[:-1]], axis=0)
-            D = D[0::2] - left - jnp.einsum("aij,ajk->aik", U_even, P)
-            U = -jnp.einsum("aij,ajk->aik", U_even, Q)
-            levels.append((lu, P, Q, U_even, U_odd))
+                [jnp.zeros((1, ns, ns), dt), Sxx[:-1]], axis=0)
+            D_new = D[0::2]
+            D_new = D_new.at[:, :ns, :ns].add(-left)
+            D_new = D_new.at[:, ns:, ns:].add(-(C_e @ Pc[:, :ns, :]))
+            D = D_new
+            C = -(C_e @ Qc[:, :ns, :])
+            levels.append((lu, Pc, Qc, C_e, C_o))
             M //= 2
         lu_root = self._one_lu(D[0])
 
         if nb:
-            Vp = (jnp.concatenate(
-                [V, jnp.zeros((Npad - N, s, nb), dt)], axis=0)
-                if Npad > N else V)
-            Y = self._cr_solve(levels, lu_root, Vp)[:N]      # (N, s, nb)
-            S = D_g - jnp.einsum("ksb,ksc->bc", V, Y)
+            # V is nonzero only in its first ng columns ([:, ns:, :ng] =
+            # Gg): solve the arrow with the thin RHS and pad afterwards
+            Vt = V[:, :, :ng]
+            Vtp = (jnp.concatenate(
+                [Vt, jnp.zeros((Npad - N, s, ng), dt)], axis=0)
+                if Npad > N else Vt)
+            Yt = self._cr_solve(levels, lu_root, Vtp)[:N]    # (N, s, ng)
+            S = D_g.at[:ng, :ng].add(
+                -jnp.einsum("ksb,ksc->bc", Vt, Yt))
             lu_S = self._one_lu(S)
         else:
-            Y = jnp.zeros((N, s, 0), dt)
+            Yt = jnp.zeros((N, s, 0), dt)
+            Vt = jnp.zeros((N, s, 0), dt)
             lu_S = self._empty_one_lu(dt)
-        return (tuple(levels), lu_root, Y, lu_S, s_full, V,
+        return (tuple(levels), lu_root, Yt, lu_S, s_full, Vt,
                 A_eff, W_eff, W)
 
     def _cr_solve(self, levels, lu_root, t):
         """Solve the block-tridiagonal interior Kb x = t for stage-blocked
-        t (Npad, s, K) through the stored reduction levels."""
+        t (Npad, s, K) through the stored reduction levels (corner-form
+        couplings: O = [[0,0],[C,0]], so every product is thin)."""
         s = t.shape[1]
+        ns = self.st.ns
         dt = t.dtype
         ys = []
-        for (lu, P, Q, U_even, U_odd) in levels:
+        for (lu, Pc, Qc, C_e, C_o) in levels:
             y = self._blk_solve(lu, t[1::2])
-            z = jnp.einsum("aji,ajK->aiK", U_odd, y)
+            zx = jnp.einsum("aki,akK->aiK", C_o, y[:, ns:])  # O_o' y
             left = jnp.concatenate(
-                [jnp.zeros((1,) + z.shape[1:], dt), z[:-1]], axis=0)
-            t = t[0::2] - left - jnp.einsum("aij,ajK->aiK", U_even, y)
+                [jnp.zeros((1,) + zx.shape[1:], dt), zx[:-1]], axis=0)
+            t_new = t[0::2]
+            t_new = t_new.at[:, :ns].add(-left)
+            t_new = t_new.at[:, ns:].add(-(C_e @ y[:, :ns]))  # O_e y
+            t = t_new
             ys.append(y)
         x = self._one_solve(lu_root, t[0])[None]             # (1, s, K)
-        for (lu, P, Q, U_even, U_odd), y in zip(reversed(levels),
-                                                reversed(ys)):
+        for (lu, Pc, Qc, C_e, C_o), y in zip(reversed(levels),
+                                             reversed(ys)):
             x_next = jnp.concatenate(
                 [x[1:], jnp.zeros((1,) + x.shape[1:], dt)], axis=0)
-            x_odd = (y - jnp.einsum("aij,ajK->aiK", P, x)
-                     - jnp.einsum("aij,ajK->aiK", Q, x_next))
+            # P = [0 | Pc], Q = [Qc | 0] in column blocks
+            x_odd = (y - Pc @ x[:, ns:] - Qc @ x_next[:, :ns])
             M2 = x.shape[0]
             x = jnp.stack([x, x_odd], axis=1).reshape(
                 2 * M2, s, x.shape[-1])
         return x
 
     def _solve_once(self, fac, rhs):
-        levels, lu_root, Y, lu_S, s_full, V, A_eff, W_eff, W = fac
+        levels, lu_root, Yt, lu_S, s_full, Vt, A_eff, W_eff, W = fac
         st = self.st
         N = st.N
         nb = st.ng + st.mg
@@ -806,9 +832,11 @@ class StagedCR(StagedLU):
             if Npad > N else t)
         yb = self._cr_solve(levels, lu_root, tp)[:N]
         if nb:
+            ng = st.ng
             x_g = self._one_solve(
-                lu_S, t_g - jnp.einsum("ksb,ksK->bK", V, yb))
-            x = yb - jnp.einsum("ksb,bK->ksK", Y, x_g)
+                lu_S, t_g.at[:ng].add(
+                    -jnp.einsum("ksb,ksK->bK", Vt, yb)))
+            x = yb - jnp.einsum("ksb,bK->ksK", Yt, x_g[:ng])
         else:
             x_g = t_g
             x = yb
@@ -1116,16 +1144,21 @@ class StagedCRQD(StagedCR):
         root_inv = self._qd_inverse(X[0], Bb[0], Z[0])
 
         if nb:
-            Vp = (jnp.concatenate(
-                [V, jnp.zeros((Npad - N, s, nb), dt)], axis=0)
-                if Npad > N else V)
-            Y = self._cr_solve(levels, root_inv, Vp)[:N]
-            S = D_g - jnp.einsum("ksb,ksc->bc", V, Y)
+            # thin arrow (V nonzero only in its first ng columns), same
+            # as StagedCR: the shared _solve_once expects (Yt, Vt)
+            Vt = V[:, :, :ng]
+            Vtp = (jnp.concatenate(
+                [Vt, jnp.zeros((Npad - N, s, ng), dt)], axis=0)
+                if Npad > N else Vt)
+            Yt = self._cr_solve(levels, root_inv, Vtp)[:N]
+            S = D_g.at[:ng, :ng].add(
+                -jnp.einsum("ksb,ksc->bc", Vt, Yt))
             lu_S = jax.scipy.linalg.lu_factor(S)
         else:
-            Y = jnp.zeros((N, s, 0), dt)
+            Yt = jnp.zeros((N, s, 0), dt)
+            Vt = jnp.zeros((N, s, 0), dt)
             lu_S = (jnp.zeros((0, 0), dt), jnp.zeros(0, jnp.int32))
-        return (tuple(levels), root_inv, Y, lu_S, s_full, V,
+        return (tuple(levels), root_inv, Yt, lu_S, s_full, Vt,
                 A_eff, W_eff, W)
 
     def _cr_solve(self, levels, root_inv, t):
