@@ -82,6 +82,41 @@ def _bench_starship(jax, jnp):
     return 1.0 / dt_wall, dt_wall, float(sol.cost), sol.iterations
 
 
+def _bench_starship_batched(jax, jnp):
+    """Batched Starship-flip PTR with the Pallas batch-in-lanes
+    cyclic-reduction staged KKT (kkt_method="staged_crpl") — the
+    north-star workload (BASELINE.md). B=32 scenarios on one chip; the
+    CR factor/solve runs O(log N) levels whose small-block LUs batch the
+    (scenario x stage) axis into the 128-wide lane dimension."""
+    from scptoolbox_tpu.models.starship_flip import (StarshipParameters,
+                                                     starship)
+    from scptoolbox_tpu.solvers import ptr
+
+    B, n_iters = 32, 15
+    pbm = starship(StarshipParameters(), N=31)
+    pars = ptr.PTRParameters(N=31, Nsub=30, iter_max=n_iters, wvc=1e3,
+                             wtr=0.1, eps_abs=1e-5, eps_rel=1e-4,
+                             feas_tol=5e-3, ipm_tol=3e-6, ipm_max_iter=60,
+                             kkt_method="staged_crpl")
+    solver = ptr.PTR(pbm, pars, dtype=jnp.float32)
+    gx, gu, gp = solver._guess
+    scale = (1.0 + 0.02 * (jnp.arange(B, dtype=solver.dtype) / B - 0.5)
+             )[:, None, None]
+    bx, bu = gx[None] * scale, jnp.broadcast_to(gu, (B, *gu.shape))
+    bp = jnp.broadcast_to(gp, (B, *gp.shape))
+
+    out = solver.solve_batched(bx, bu, bp, n_iters)    # compile + warm up
+    jax.block_until_ready(out["J_aug"])
+    t0 = time.perf_counter()
+    out = solver.solve_batched(bx, bu, bp, n_iters)
+    jax.block_until_ready(out["J_aug"])
+    dt_wall = time.perf_counter() - t0
+    feas = int(np.sum(np.asarray(out["feas"])))
+    from scptoolbox_tpu.config import SCPStatus
+    solved = int(np.sum(np.asarray(out["status"]) == int(SCPStatus.SOLVED)))
+    return B / dt_wall, solved, feas, B
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -94,6 +129,17 @@ def main():
         "value": round(ss_rate, 3),
         "unit": "solves/s",
         "vs_baseline": round(ss_rate / 12.5, 4),
+    }))
+
+    bs_rate, bs_solved, bs_feas, B = _bench_starship_batched(jax, jnp)
+    print(json.dumps({
+        "metric": ("batched Starship-flip PTR SCP solves/s (the north-star "
+                   f"workload; staged-CR Pallas lanes KKT, B={B}, "
+                   f"{bs_solved}/{B} SOLVED, {bs_feas}/{B} feasible, "
+                   "N=31, 1 chip)"),
+        "value": round(bs_rate, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(bs_rate / 12.5, 4),
     }))
 
     di_rate, cfg = _bench_double_integrator(jax, jnp)

@@ -166,9 +166,7 @@ class PTR:
         self._E = jnp.eye(pbm.nx, dtype=self.dtype)  # scp.jl:149
 
         # stage-structured KKT (block-tridiagonal + arrow, ops/block_kkt)
-        from scptoolbox_tpu.solvers.structure import (STAGED_METHODS,
-                                                      build_kkt_builder,
-                                                      build_staged_builder,
+        from scptoolbox_tpu.solvers.structure import (resolve_kkt,
                                                       random_dltv)
 
         _asm_probe = jax.jit(
@@ -186,15 +184,10 @@ class PTR:
             return _asm_probe(r(N, pbm.nx), r(N, pbm.nu), r(pbm.np), dltv,
                               consts)
 
-        if pars.kkt_method in STAGED_METHODS:
-            # stage-structured AUGMENTED sweep (f32-robust, batchable);
-            # requested explicitly via kkt_method, built here and passed
-            # down as a kkt_builder (dense-LU fallback when probing fails)
-            self._kkt_builder = build_staged_builder(
-                tmpl, _probe, variant=pars.kkt_method.split("_")[1])
-        else:
-            self._kkt_builder = build_kkt_builder(
-                tmpl, _probe, enabled=pars.structured_kkt)
+        # effective KKT method: explicit request or measured auto policy
+        # (structure.resolve_kkt — staged CR on large f32 templates)
+        self._kkt_method, self._kkt_builder = resolve_kkt(
+            tmpl, _probe, pars.kkt_method, pars.structured_kkt)
 
         self._step = jax.jit(lambda rx, ru, rp, dltv, J, consts: self._step_impl(rx, ru, rp, dltv, J, consts))
 
@@ -255,7 +248,7 @@ class PTR:
         return ipm.solve(A, b, c, self.spec, tol=self.pars.ipm_tol,
                          tol_almost=self.pars.ipm_tol_almost,
                          max_iter=self.pars.ipm_max_iter, enabled=active,
-                         **ipm_kkt_kwargs(self.pars.kkt_method,
+                         **ipm_kkt_kwargs(self._kkt_method,
                                           self._kkt_builder))
 
     def _postprocess(self, sol, const, ref_x, ref_u, ref_p, J_aug_ref,

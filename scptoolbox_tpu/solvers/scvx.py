@@ -145,9 +145,7 @@ class SCvx:
         self._S_full, self._c_full = tmpl.scaling_vectors(self.scaling)
         self._E = jnp.eye(nx, dtype=self.dtype)  # scp.jl:149
 
-        from scptoolbox_tpu.solvers.structure import (STAGED_METHODS,
-                                                      build_kkt_builder,
-                                                      build_staged_builder,
+        from scptoolbox_tpu.solvers.structure import (resolve_kkt,
                                                       random_dltv)
 
         _asm_probe = jax.jit(
@@ -165,12 +163,10 @@ class SCvx:
                 jnp.asarray(1.0 + abs(rng.standard_normal()), self.dtype),
                 consts)
 
-        if pars.kkt_method in STAGED_METHODS:
-            self._kkt_builder = build_staged_builder(
-                tmpl, _probe, variant=pars.kkt_method.split("_")[1])
-        else:
-            self._kkt_builder = build_kkt_builder(
-                tmpl, _probe, enabled=pars.structured_kkt)
+        # effective KKT method: explicit request or measured auto policy
+        # (structure.resolve_kkt — staged CR on large f32 templates)
+        self._kkt_method, self._kkt_builder = resolve_kkt(
+            tmpl, _probe, pars.kkt_method, pars.structured_kkt)
 
         self._step = jax.jit(self._step_impl, static_argnames=())
 
@@ -311,7 +307,7 @@ class SCvx:
         sol = ipm.solve(A, b, c, self.spec, tol=pars.ipm_tol,
                         tol_almost=pars.ipm_tol_almost,
                         max_iter=pars.ipm_max_iter, enabled=active,
-                        **ipm_kkt_kwargs(self.pars.kkt_method,
+                        **ipm_kkt_kwargs(self._kkt_method,
                                          self._kkt_builder))
         return self._post_solve(sol, const, ref_x, ref_u, ref_p, consts)
 
@@ -357,7 +353,7 @@ class SCvx:
                        A, b, c, self.spec, tol=self.pars.ipm_tol,
                        tol_almost=self.pars.ipm_tol_almost,
                        max_iter=self.pars.ipm_max_iter,
-                       **ipm_kkt_kwargs(self.pars.kkt_method,
+                       **ipm_kkt_kwargs(self._kkt_method,
                                         self._kkt_builder))),
                    jax.jit(self._post_solve))
             self.__dict__["_timed_fns"] = fns

@@ -28,6 +28,39 @@ STAGED_METHODS = ("staged_lu", "staged_qr", "staged_cr",
                   "staged_crpl", "staged_crqd")
 
 
+def resolve_kkt(tmpl, probe, kkt_method, structured_kkt):
+    """Resolve a solver's (pars.kkt_method, pars.structured_kkt) request
+    into the EFFECTIVE (kkt_method, kkt_builder) pair, applying the
+    measured auto policy when neither is forced (VERDICT r4 item 8: the
+    default solve should pick the fastest correct method without caller
+    flags; see BASELINE.md "KKT method policy" for the measurements).
+
+    Policy:
+      * an explicit `kkt_method` string always wins (staged variants are
+        probed here; dense variants pass through to ipm.solve);
+      * n < 600: dense Schur normal equations — the O(m n^2) formation is
+        cheap at this size and beats every structured sweep's scan/level
+        overhead (measured round 3, both dtypes);
+      * n >= 600, f64: structured normal-equations block sweep
+        (ops/block_kkt) — the round-3 auto default, unchanged;
+      * n >= 600, f32: "staged_cr" — the FGMRES-wrapped cyclic-reduction
+        augmented factorization (ops/aug_kkt.StagedCR). The dense Schur
+        path stalls above ~1e-4 KKT merit on starship-class f32
+        subproblems and the dense augmented LU does not batch (XLA's
+        batched f32 LU is batch-serial, BASELINE.md round 5), so CR is
+        both the certified AND the throughput choice.
+    Falls back to the dense augmented LU when stage probing fails."""
+    if kkt_method in STAGED_METHODS:
+        return kkt_method, build_staged_builder(
+            tmpl, probe, variant=kkt_method.split("_", 1)[1])
+    if kkt_method is not None:
+        return kkt_method, None
+    if (structured_kkt is None and tmpl.n >= 600
+            and tmpl.dtype == jnp.float32):
+        return "staged_cr", build_staged_builder(tmpl, probe, variant="cr")
+    return None, build_kkt_builder(tmpl, probe, enabled=structured_kkt)
+
+
 def ipm_kkt_kwargs(kkt_method, kkt_builder) -> dict:
     """Resolve a solver's (pars.kkt_method, probed kkt_builder) pair into
     ipm.solve kwargs. Staged variants route through the probed builder

@@ -9,8 +9,11 @@ BASELINE.md's round-5 table (the north-star workload).
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

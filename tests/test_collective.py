@@ -74,3 +74,33 @@ def test_collective_2d_host_batch_mesh():
     assert int(res2.total_iters) == int(res1.total_iters)
     assert np.asarray(res2.J_aug) == pytest.approx(
         np.asarray(res1.J_aug), rel=1e-8)
+
+
+def test_collective_starship_class_staged_cr():
+    """Collective vote on the north-star model family (starship flip:
+    np=10, SOC-heavy rows) with the cyclic-reduction staged KKT — the TPU
+    production configuration, validated on the virtual mesh at small N
+    (VERDICT r4 item 6: the distributed machinery must be exercised on
+    the structure the throughput claim is made on)."""
+    from scptoolbox_tpu.models.starship_flip import (StarshipParameters,
+                                                     starship)
+
+    pbm = starship(StarshipParameters(), N=9)
+    pars = ptr.PTRParameters(N=9, Nsub=6, wvc=1e3, wtr=0.1,
+                             ipm_tol=1e-8, ipm_max_iter=60,
+                             kkt_method="staged_cr")
+    solver = ptr.PTR(pbm, pars)
+    assert solver._kkt_builder is not None, "stage probe must succeed"
+    gx, gu, gp = solver._guess
+    B = 8
+    scale = (1.0 + 0.02 * (jnp.arange(B) / B - 0.5))[:, None, None]
+    bx = gx[None] * scale
+    bu = jnp.broadcast_to(gu, (B, *gu.shape))
+    bp = jnp.broadcast_to(gp, (B, *gp.shape))
+
+    res = solve_batched_collective(solver, bx, bu, bp, 4, mesh=make_mesh(8))
+    assert np.all(np.isfinite(np.asarray(res.J_aug)))
+    # per-scenario parity with the plain vmapped batched path
+    out = solver.solve_batched(bx, bu, bp, 4)
+    assert np.asarray(res.J_aug) == pytest.approx(
+        np.asarray(out["J_aug"]), rel=1e-6)
